@@ -1,0 +1,110 @@
+"""Core attack-engine semantics tests (design: SURVEY.md §4 layer (a)/(d))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transferattack_tpu as ta
+from transferattack_tpu.attack import Attack, l1_normalize, softmax_cross_entropy
+
+
+def run_attack(name, x, y, **kwargs):
+    cls = ta.load_attack_class(name)
+    atk = cls(model_name="toy_cnn", **kwargs)
+    return np.asarray(atk(x, y))
+
+
+def test_l1_normalize():
+    g = jnp.array([[1.0, -3.0], [2.0, 2.0]])
+    out = l1_normalize(g)
+    np.testing.assert_allclose(np.abs(out).mean(axis=1), 1.0, rtol=1e-5)
+
+
+def test_cross_entropy_matches_manual():
+    logits = jnp.array([[2.0, 1.0, 0.0]])
+    y = jnp.array([0])
+    ce = softmax_cross_entropy(logits, y)
+    manual = -np.log(np.exp(2.0) / np.exp([2.0, 1.0, 0.0]).sum())
+    np.testing.assert_allclose(np.asarray(ce)[0], manual, rtol=1e-3)
+
+
+def test_eps_constraint_and_bounds(toy_batch):
+    x, y = toy_batch
+    for name in ["fgsm", "ifgsm", "mifgsm", "nifgsm"]:
+        delta = run_attack(name, x, y)
+        assert delta.shape == x.shape
+        assert np.all(np.abs(delta) <= 16 / 255 + 1e-6), name
+        adv = x + delta
+        assert adv.min() >= -1e-6 and adv.max() <= 1 + 1e-6, name
+
+
+def test_attack_increases_loss(toy_batch):
+    """Untargeted attacks must increase white-box CE loss."""
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn")
+    delta = atk(x, y)
+
+    def loss(imgs):
+        logits = atk.model.apply(atk.model.variables, jnp.asarray(imgs))
+        return float(softmax_cross_entropy(logits, jnp.asarray(y)).mean())
+
+    assert loss(x + np.asarray(delta)) > loss(x)
+
+
+def test_targeted_decreases_target_loss(toy_batch):
+    x, y = toy_batch
+    target = (y + 3) % 10
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn", targeted=True)
+    delta = atk(x, target)
+
+    def tloss(imgs):
+        logits = atk.model.apply(atk.model.variables, jnp.asarray(imgs))
+        return float(softmax_cross_entropy(logits, jnp.asarray(target)).mean())
+
+    assert tloss(x + np.asarray(delta)) < tloss(x)
+
+
+def test_fgsm_is_single_step(toy_batch):
+    """FGSM delta must be exactly ±eps or a clipped value at image bounds."""
+    x, y = toy_batch
+    delta = run_attack("fgsm", x, y)
+    adv = x + delta
+    eps = 16 / 255
+    at_eps = np.isclose(np.abs(delta), eps, atol=1e-6)
+    at_bounds = np.isclose(adv, 0.0, atol=1e-6) | np.isclose(adv, 1.0, atol=1e-6)
+    zero_grad = np.isclose(delta, 0.0, atol=1e-6)
+    assert np.all(at_eps | at_bounds | zero_grad)
+
+
+def test_determinism(toy_batch):
+    x, y = toy_batch
+    d1 = run_attack("mifgsm", x, y)
+    d2 = run_attack("mifgsm", x, y)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_mifgsm_differs_from_ifgsm(toy_batch):
+    x, y = toy_batch
+    assert not np.allclose(run_attack("mifgsm", x, y), run_attack("ifgsm", x, y))
+
+
+def test_l2_norm_constraint(toy_batch):
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(
+        model_name="toy_cnn", norm="l2", eps=2.0, alpha=0.4
+    )
+    delta = np.asarray(atk(x, y))
+    norms = np.linalg.norm(delta.reshape(len(x), -1), axis=1)
+    assert np.all(norms <= 2.0 + 1e-4)
+
+
+def test_ensemble_model(toy_batch):
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(model_name=["toy_cnn", "toy_cnn2"])
+    delta = np.asarray(atk(x, y))
+    assert np.all(np.abs(delta) <= 16 / 255 + 1e-6)
+
+
+def test_unknown_attack_raises():
+    with pytest.raises(ValueError):
+        ta.load_attack_class("not_an_attack")

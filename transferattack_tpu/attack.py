@@ -1,0 +1,257 @@
+"""TPU-native attack engine.
+
+This is the functional re-design of the reference's template-method ``Attack``
+base class (``/root/reference/transferattack/attack.py:8-169``).  Instead of a
+Python ``for`` loop of forward/backward calls, an attack here is a pure
+function ``(variables, x, y, key) -> delta`` whose iteration loop is a single
+``jax.lax.scan`` over an :class:`AttackState` pytree, jit-compiled once per
+(shape, attack-config).  Subclasses override *pure* hooks; nothing mutates
+``self`` inside the traced region.
+
+Reference hook → TPU hook mapping:
+
+============================  =========================================
+reference (attack.py)          here
+============================  =========================================
+``init_delta``        :130    :meth:`Attack.init_delta`
+``transform``         :164    :meth:`Attack.transform` (returns a copies
+                               axis instead of batch-concat; see sim.py)
+``get_logits``        :104    :meth:`Attack.get_logits`
+``get_loss``          :110    :meth:`Attack.get_loss`
+``get_grad``          :118    :meth:`Attack.get_grad`
+``get_momentum``      :124    :meth:`Attack.get_momentum`
+``update_delta``      :145    :meth:`Attack.update_delta`
+``forward``           :67     :meth:`Attack.run` (lax.scan)
+============================  =========================================
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .utils import img_max, img_min
+from .models import resolve_model
+
+Array = jax.Array
+
+
+@struct.dataclass
+class AttackState:
+    """Carry pytree for the attack scan loop.
+
+    ``extra`` holds per-attack auxiliary state (e.g. VMI's variance tensor,
+    GRA's decay indicator) and must keep a fixed tree structure across steps.
+    """
+
+    delta: Array
+    momentum: Array
+    key: Array
+    step: Array  # scalar int32 iteration counter
+    extra: Dict[str, Any]
+
+
+def l1_normalize(g: Array) -> Array:
+    """Normalize by the mean absolute value over all non-batch axes.
+
+    Matches the reference momentum normalization
+    (``attack.py:127``: ``grad / grad.abs().mean(dim=(1,2,3))``).
+    """
+    denom = jnp.mean(jnp.abs(g), axis=tuple(range(1, g.ndim)), keepdims=True)
+    return g / (denom + 1e-12)
+
+
+def softmax_cross_entropy(logits: Array, labels: Array) -> Array:
+    """Per-example CE. ``logits``: (..., B, C); ``labels``: (B,) int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
+
+
+class Attack:
+    """Base class for all transfer attacks.
+
+    Hyperparameter defaults follow the reference protocol
+    (eps=16/255, alpha=1.6/255, epoch=10, untargeted; ``README.md:719``).
+
+    Parameters mirror the reference constructor (``attack.py:12-38``) with
+    ``model_name`` accepting a string, a list (→ logit-mean ensemble), or an
+    already-built surrogate object.
+    """
+
+    # subclasses may force a fixed batch size (e.g. ANDA/TGR in the reference)
+    requires_batchsize: Optional[int] = None
+
+    def __init__(
+        self,
+        model_name: Union[str, Sequence[str], Any] = "resnet50",
+        epoch: int = 10,
+        eps: float = 16 / 255,
+        alpha: float = 1.6 / 255,
+        decay: float = 1.0,
+        targeted: bool = False,
+        random_start: bool = False,
+        norm: str = "linfty",
+        loss: str = "crossentropy",
+        seed: int = 0,
+        attack: str = "Attack",
+        **model_kwargs,
+    ):
+        if norm not in ("linfty", "l2"):
+            raise ValueError(f"Unsupported norm {norm}")
+        self.attack = attack
+        self.model = resolve_model(model_name, **model_kwargs)
+        self.epoch = int(epoch)
+        self.eps = float(eps)
+        self.alpha = float(alpha)
+        self.decay = float(decay)
+        self.targeted = bool(targeted)
+        self.random_start = bool(random_start)
+        self.norm = norm
+        self.loss_name = loss
+        self.seed = int(seed)
+        self._jitted_run = None
+
+    # ------------------------------------------------------------------
+    # pure hooks — override in subclasses; must be traceable (no mutation)
+    # ------------------------------------------------------------------
+
+    def init_delta(self, x: Array, key: Array) -> Array:
+        """Zero or random-start init (reference ``attack.py:130-143``)."""
+        if not self.random_start:
+            return jnp.zeros_like(x)
+        if self.norm == "linfty":
+            delta = jax.random.uniform(
+                key, x.shape, x.dtype, minval=-self.eps, maxval=self.eps
+            )
+        else:
+            delta = jax.random.normal(key, x.shape, x.dtype)
+            flat = delta.reshape(x.shape[0], -1)
+            n = jnp.linalg.norm(flat, axis=1, keepdims=True)
+            r = jax.random.uniform(key, (x.shape[0], 1), x.dtype)
+            flat = flat / (n + 1e-12) * r * self.eps
+            delta = flat.reshape(x.shape)
+        return jnp.clip(x + delta, img_min, img_max) - x
+
+    def init_extra(self, x: Array, y: Array) -> Dict[str, Any]:
+        """Initial per-attack auxiliary state (empty by default)."""
+        return {}
+
+    def num_copies(self) -> int:
+        """Number of augmented copies ``transform`` produces (copies axis)."""
+        return 1
+
+    def transform(self, x: Array, state: AttackState, key: Array) -> Array:
+        """Input augmentation hook (reference ``attack.py:164``).
+
+        Input ``x``: (B, H, W, C) adversarial images. Output: a
+        ``(num_copies, B, H, W, C)`` stack. The reference concatenates copies
+        on the batch axis (e.g. ``sim.py:40``); a leading copies axis is the
+        same math but XLA-fusable and shardable on its own mesh axis.
+        """
+        return x[None]
+
+    def get_logits(self, variables, xs: Array) -> Array:
+        """Forward pass. ``xs``: (n, B, H, W, C) → logits (n, B, num_classes)."""
+        n, b = xs.shape[0], xs.shape[1]
+        flat = xs.reshape((n * b,) + xs.shape[2:])
+        logits = self.model.apply(variables, flat)
+        return logits.reshape((n, b) + logits.shape[1:])
+
+    def get_loss(self, logits: Array, y: Array) -> Array:
+        """Scalar loss, negated for targeted (reference ``attack.py:110-115``)."""
+        ce = softmax_cross_entropy(logits, y).mean()
+        return -ce if self.targeted else ce
+
+    def get_grad(self, variables, x, y, state: AttackState, key: Array):
+        """Gradient of the loss w.r.t. delta (reference ``attack.py:118-122``).
+
+        Returns ``(grad, extra_updates)`` where ``extra_updates`` is a dict
+        merged into ``state.extra`` (empty by default).
+        """
+
+        def loss_fn(delta):
+            xs = self.transform(x + delta, state, key)
+            logits = self.get_logits(variables, xs)
+            return self.get_loss(logits, y)
+
+        grad = jax.grad(loss_fn)(state.delta)
+        return grad, {}
+
+    def post_grad(self, grad: Array, state: AttackState) -> Array:
+        """Gradient post-processing hook (e.g. TIM's kernel convolution)."""
+        return grad
+
+    def get_momentum(self, grad: Array, momentum: Array) -> Array:
+        """L1-mean-normalized accumulation (reference ``attack.py:124-128``)."""
+        return momentum * self.decay + l1_normalize(grad)
+
+    def update_delta(self, delta: Array, x: Array, grad_dir: Array) -> Array:
+        """Step + project (reference ``attack.py:145-153``)."""
+        if self.norm == "linfty":
+            delta = jnp.clip(
+                delta + self.alpha * jnp.sign(grad_dir), -self.eps, self.eps
+            )
+        else:
+            d = delta + self.alpha * grad_dir
+            flat = d.reshape(d.shape[0], -1)
+            n = jnp.linalg.norm(flat, axis=1).reshape((-1,) + (1,) * (d.ndim - 1))
+            scale = jnp.minimum(1.0, self.eps / (n + 1e-12))
+            delta = d * scale
+        return jnp.clip(x + delta, img_min, img_max) - x
+
+    def step(self, variables, x, y, state: AttackState) -> AttackState:
+        """One attack iteration (body of the scan)."""
+        key, sub = jax.random.split(state.key)
+        grad, extra_up = self.get_grad(variables, x, y, state, sub)
+        grad = self.post_grad(grad, state)
+        momentum = self.get_momentum(grad, state.momentum)
+        delta = self.update_delta(state.delta, x, momentum)
+        extra = {**state.extra, **extra_up}
+        return state.replace(
+            delta=delta, momentum=momentum, key=key, step=state.step + 1, extra=extra
+        )
+
+    # ------------------------------------------------------------------
+    # driver
+    # ------------------------------------------------------------------
+
+    def init_state(self, x: Array, y: Array, key: Array) -> AttackState:
+        key, sub = jax.random.split(key)
+        return AttackState(
+            delta=self.init_delta(x, sub),
+            momentum=jnp.zeros_like(x),
+            key=key,
+            step=jnp.zeros((), jnp.int32),
+            extra=self.init_extra(x, y),
+        )
+
+    def run(self, variables, x: Array, y: Array, key: Array) -> Array:
+        """The full attack as a pure function (the reference ``forward``)."""
+        state0 = self.init_state(x, y, key)
+
+        def body(state, _):
+            return self.step(variables, x, y, state), None
+
+        state, _ = jax.lax.scan(body, state0, None, length=self.epoch)
+        return self.finalize(state, x, y)
+
+    def finalize(self, state: AttackState, x: Array, y: Array) -> Array:
+        """Final projection; returns delta (reference returns ``delta.detach()``)."""
+        return jnp.clip(x + state.delta, img_min, img_max) - x
+
+    def __call__(self, data, label, key: Optional[Array] = None, idx: int = 0):
+        """NumPy-friendly entry point used by the CLI driver.
+
+        ``data``: (B, H, W, C) float in [0, 1]. Returns delta as a jax array.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(self.seed + idx)
+        x = jnp.asarray(data)
+        y = jnp.asarray(label)
+        if self._jitted_run is None:
+            self._jitted_run = jax.jit(self.run)
+        return self._jitted_run(self.model.variables, x, y, key)

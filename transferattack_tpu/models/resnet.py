@@ -1,0 +1,253 @@
+"""ResNet / ResNeXt family in Flax linen, NHWC.
+
+Structure and naming mirror torchvision's ResNet so that a PyTorch
+``state_dict`` converts mechanically (``layer1.0.conv1.weight`` →
+``params/layer1_0/conv1/kernel`` with OIHW→HWIO transpose); see
+``transferattack_tpu/utils/convert.py``.  Referenced by the reference's
+surrogate loader at ``transferattack/attack.py:51-60``.
+
+TPU notes: convolutions stay NHWC so XLA tiles them straight onto the MXU;
+BatchNorm runs in inference mode (folded scale/bias — XLA fuses it into the
+preceding conv).
+
+Gradient-surgery knobs (used by model_related attacks):
+
+* ``gamma``     — SGM backward ReLU scaling (``model_related/sgm.py:47-97``):
+                  implemented as a ``jax.custom_vjp`` ReLU on residual branches.
+* ``softplus_beta`` — IAA's ReLU→Softplus swap (``model_related/iaa.py``).
+* ``residual_scale`` — IAA's residual-branch downweighting.
+* ``skip_drop`` — ghost networks' per-forward dropout on skip connections
+                  (``model_related/ghost_networks/resnet.py:64-177``); draws
+                  from the ``'ghost'`` RNG collection when > 0.
+* ``linbp_start`` — LinBP (``model_related/linbp.py``): from this block index
+                  on, ReLU backward passes gradients straight through.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import register_model
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def scaled_grad_relu(x, gamma):
+    return jax.nn.relu(x)
+
+
+def _sgr_fwd(x, gamma):
+    return jax.nn.relu(x), x
+
+
+def _sgr_bwd(gamma, x, g):
+    # SGM: backward mask scaled by gamma (gamma=1 → plain ReLU grad)
+    return (g * jnp.where(x > 0, 1.0, 0.0).astype(g.dtype) * gamma,)
+
+
+scaled_grad_relu.defvjp(_sgr_fwd, _sgr_bwd)
+
+
+@jax.custom_vjp
+def linbp_relu(x):
+    """ReLU forward, identity backward (LinBP, ``model_related/linbp.py:78-177``)."""
+    return jax.nn.relu(x)
+
+
+linbp_relu.defvjp(lambda x: (jax.nn.relu(x), None), lambda _, g: (g,))
+
+
+def conv(features, kernel, stride=1, groups=1, name=None):
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        use_bias=False,
+        feature_group_count=groups,
+        name=name,
+    )
+
+
+def bn(name):
+    return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5, name=name)
+
+
+class SurgeryConfig:
+    """Immutable bag of gradient-surgery settings shared by block modules."""
+
+    def __init__(
+        self,
+        gamma: float = 1.0,
+        softplus_beta: Optional[float] = None,
+        residual_scale: float = 1.0,
+        skip_drop: float = 0.0,
+        linbp_start: int = 10**9,
+    ):
+        self.gamma = gamma
+        self.softplus_beta = softplus_beta
+        self.residual_scale = residual_scale
+        self.skip_drop = skip_drop
+        self.linbp_start = linbp_start
+
+    def key(self):
+        return (
+            self.gamma,
+            self.softplus_beta,
+            self.residual_scale,
+            self.skip_drop,
+            self.linbp_start,
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, SurgeryConfig) and self.key() == other.key()
+
+    def __hash__(self):
+        return hash(self.key())
+
+
+DEFAULT_SURGERY = SurgeryConfig()
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    surgery: SurgeryConfig = DEFAULT_SURGERY
+    block_index: int = 0
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.surgery
+        identity = x
+        out = conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = bn("bn1")(out)
+        out = _act(out, s, self.block_index)
+        out = conv(self.planes, 3, 1, name="conv2")(out)
+        out = bn("bn2")(out)
+        if self.downsample:
+            identity = conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            identity = bn("downsample_bn")(identity)
+        out = _merge(out, identity, self, s)
+        return _act(out, s, self.block_index)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    surgery: SurgeryConfig = DEFAULT_SURGERY
+    block_index: int = 0
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.surgery
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = conv(width, 1, 1, name="conv1")(x)
+        out = bn("bn1")(out)
+        out = _act(out, s, self.block_index)
+        out = conv(width, 3, self.stride, groups=self.groups, name="conv2")(out)
+        out = bn("bn2")(out)
+        out = _act(out, s, self.block_index)
+        out = conv(self.planes * 4, 1, 1, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            identity = bn("downsample_bn")(identity)
+        out = _merge(out, identity, self, s)
+        return _act(out, s, self.block_index)
+
+
+def _act(x, s: SurgeryConfig, block_index: int):
+    if block_index >= s.linbp_start:
+        return linbp_relu(x)
+    if s.softplus_beta is not None:
+        return jax.nn.softplus(s.softplus_beta * x) / s.softplus_beta
+    if s.gamma != 1.0:
+        return scaled_grad_relu(x, s.gamma)
+    return jax.nn.relu(x)
+
+
+def _merge(out, identity, mdl: nn.Module, s: SurgeryConfig):
+    """Residual add, with ghost skip-dropout / IAA residual scaling."""
+    if s.skip_drop > 0.0:
+        rng = mdl.make_rng("ghost")
+        keep = 1.0 - s.skip_drop
+        mask = jax.random.bernoulli(rng, keep, out.shape[:1] + (1,) * (out.ndim - 1))
+        out = out * mask.astype(out.dtype) / keep
+    return out * s.residual_scale + identity
+
+
+class ResNet(nn.Module):
+    """torchvision-layout ResNet (NHWC)."""
+
+    stage_sizes: Sequence[int]
+    block_cls: Any
+    num_classes: int = 1000
+    groups: int = 1
+    base_width: int = 64
+    surgery: SurgeryConfig = DEFAULT_SURGERY
+
+    @nn.compact
+    def __call__(self, x, features_only: bool = False):
+        s = self.surgery
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            name="conv1",
+        )(x)
+        x = bn("bn1")(x)
+        x = _act(x, s, -1)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        block_idx = 0
+        for i, n_blocks in enumerate(self.stage_sizes):
+            planes = 64 * (2 ** i)
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                exp = 4 if self.block_cls is Bottleneck else 1
+                down = j == 0 and (stride != 1 or i == 0 and exp != 1)
+                kwargs = dict(
+                    planes=planes,
+                    stride=stride,
+                    downsample=down,
+                    surgery=s,
+                    block_index=block_idx,
+                    name=f"layer{i + 1}_{j}",
+                )
+                if self.block_cls is Bottleneck:
+                    kwargs.update(groups=self.groups, base_width=self.base_width)
+                x = self.block_cls(**kwargs)(x)
+                block_idx += 1
+            # expose per-stage features for feature-level attacks via sow
+            self.sow("intermediates", f"stage{i + 1}", x)
+        x = jnp.mean(x, axis=(1, 2))
+        if features_only:
+            return x
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+def _make(stage_sizes, block_cls, **defaults):
+    def builder(**kwargs):
+        cfg = {**defaults, **kwargs}
+        return ResNet(stage_sizes=stage_sizes, block_cls=block_cls, **cfg)
+
+    return builder
+
+
+register_model("resnet18")(_make([2, 2, 2, 2], BasicBlock))
+register_model("resnet34")(_make([3, 4, 6, 3], BasicBlock))
+register_model("resnet50")(_make([3, 4, 6, 3], Bottleneck))
+register_model("resnet101")(_make([3, 4, 23, 3], Bottleneck))
+register_model("resnet152")(_make([3, 8, 36, 3], Bottleneck))
+register_model("resnext50_32x4d")(
+    _make([3, 4, 6, 3], Bottleneck, groups=32, base_width=4)
+)
