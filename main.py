@@ -1,0 +1,141 @@
+"""CLI driver — parity with the reference ``main.py`` (attack + eval modes).
+
+Attack mode: craft adversarial PNGs for every image in ``input_dir`` and save
+``images + delta`` to ``output_dir`` (per-target-class subdirs for the
+generation attacks ttp/m3d/rfcoa/aim, reference ``main.py:44-50``).
+
+Eval mode: score ASR over the 8 paper models and append a markdown row to
+``results_eval.txt`` (reference ``main.py:54-94``).
+
+TPU-native differences: batches are sharded over a device mesh
+(``transferattack_tpu.parallel``), the whole attack loop is one jit-compiled
+``lax.scan`` per batch shape, and eval model forwards are jit-compiled.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import transferattack_tpu as ta
+from transferattack_tpu.models import make_model
+from transferattack_tpu.parallel import ShardedAttackRunner, make_mesh
+from transferattack_tpu.utils import (
+    AdvDataset,
+    cnn_model_paper,
+    generation_target_classes,
+    save_images,
+    vit_model_paper,
+)
+
+GENERATION_TARGETED = ("ttp", "m3d", "rfcoa", "aim")
+
+
+def get_parser():
+    # flag surface mirrors the reference CLI (``main.py:10-26``); --GPU_ID is
+    # accepted for script parity but ignored (device selection is JAX's)
+    p = argparse.ArgumentParser(description="TPU-native TransferAttack")
+    p.add_argument("-e", "--eval", action="store_true", help="attack/evaluation")
+    p.add_argument("--attack", default="mifgsm", type=str)
+    p.add_argument("--epoch", default=10, type=int)
+    p.add_argument("--batchsize", default=32, type=int)
+    p.add_argument("--eps", default=16 / 255, type=float)
+    p.add_argument("--alpha", default=1.6 / 255, type=float)
+    p.add_argument("--momentum", default=0.0, type=float)
+    p.add_argument("--model", default="resnet50", type=str)
+    p.add_argument("--ensemble", action="store_true")
+    p.add_argument("--input_dir", default="./data", type=str)
+    p.add_argument("--output_dir", default="./results", type=str)
+    p.add_argument("--targeted", action="store_true")
+    p.add_argument("--GPU_ID", default="0", type=str)
+    # TPU-native extras
+    p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
+    p.add_argument("--eval_models", default="", type=str,
+                   help="comma list overriding the 8 paper eval models")
+    return p.parse_args()
+
+
+def run_attack(args) -> None:
+    os.makedirs(args.output_dir, exist_ok=True)
+    model = args.model.split(",") if (args.ensemble or "," in args.model) else args.model
+    attacker = ta.load_attack_class(args.attack)(model_name=model, targeted=args.targeted)
+    if attacker.requires_batchsize is not None:
+        args.batchsize = attacker.requires_batchsize
+    runner = (
+        attacker
+        if args.no_mesh
+        else ShardedAttackRunner(attacker, make_mesh())
+    )
+    dataset = AdvDataset(
+        input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
+    )
+    for images, labels, names in dataset.as_batches(args.batchsize):
+        if args.attack in GENERATION_TARGETED:
+            for idx, target_class in enumerate(generation_target_classes):
+                delta = np.asarray(runner(images, labels, idx=idx))
+                sub = os.path.join(args.output_dir, str(target_class))
+                save_images(sub, images + delta, names)
+        else:
+            delta = np.asarray(runner(images, labels))
+            save_images(args.output_dir, images + delta, names)
+
+
+def evaluate_model(surrogate, dataset, batchsize: int, is_targeted: bool) -> float:
+    """ASR for one eval model (reference ``main.py:80-94``)."""
+    import jax
+    import jax.numpy as jnp
+
+    apply = jax.jit(surrogate.module.apply)
+    correct, total = 0, 0
+    for images, labels, _ in dataset.as_batches(batchsize):
+        if is_targeted and labels.ndim == 2:
+            labels = labels[:, 1]
+        pred = np.asarray(apply(surrogate.variables, jnp.asarray(images)).argmax(-1))
+        correct += int((labels == pred).sum())
+        total += len(labels)
+    acc = correct / max(total, 1)
+    return acc * 100 if is_targeted else (1 - acc) * 100
+
+
+def run_eval(args) -> None:
+    if args.eval_models:
+        names = args.eval_models.split(",")
+    else:
+        names = cnn_model_paper + vit_model_paper
+    res = "|"
+    for name in names:
+        surrogate = make_model(name)
+        if args.attack in ("ttp", "m3d", "rfcoa"):
+            asr = 0.0
+            for target_class in generation_target_classes:
+                sub = os.path.join(args.output_dir, str(target_class))
+                ds = AdvDataset(
+                    input_dir=args.input_dir, output_dir=sub, targeted=True,
+                    target_class=target_class, eval_mode=True,
+                )
+                asr += evaluate_model(surrogate, ds, args.batchsize, True)
+            asr /= len(generation_target_classes)
+        else:
+            ds = AdvDataset(
+                input_dir=args.input_dir, output_dir=args.output_dir,
+                targeted=args.targeted, eval_mode=True,
+            )
+            asr = evaluate_model(surrogate, ds, args.batchsize, args.targeted)
+        print(f"{name}: {asr:.1f}")
+        res += f" {asr:.1f} |"
+    print(res)
+    with open("results_eval.txt", "a") as f:
+        f.write(args.output_dir + res + "\n")
+
+
+def main():
+    args = get_parser()
+    if args.eval:
+        run_eval(args)
+    else:
+        run_attack(args)
+
+
+if __name__ == "__main__":
+    main()

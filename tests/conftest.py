@@ -1,17 +1,23 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated on host-CPU virtual devices
 (``xla_force_host_platform_device_count``); real-hardware throughput runs via
-``bench.py`` on the TPU chip instead.
+``bench.py`` on the TPU chip instead.  Note: the environment's sitecustomize
+pre-imports jax with ``JAX_PLATFORMS=axon`` (one tunneled TPU chip), so we
+must override the already-imported config, not just env vars.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,100 @@
+"""Advanced-objective family tests (SURVEY.md §2.3) on the toy CNN."""
+import os
+
+import numpy as np
+import pytest
+
+import transferattack_tpu as ta
+
+EPS = 16 / 255
+
+AO_ATTACKS = [
+    ("tap", {"epoch": 5}),
+    ("ila", {"feature_layer": "stage1"}),
+    ("fia", {"feature_layer": "stage1", "num_ens": 4}),
+    ("rpa", {"feature_layer": "stage1", "num_ens": 4}),
+    ("fmaa", {"feature_layer": "stage1", "num_ens": 4}),
+    ("bfa", {"feature_layer": "stage1", "num_ens": 4, "warmup_epoch": 2}),
+    ("naa", {"feature_layer": "stage1", "N": 4}),
+    ("danaa", {"feature_layer": "stage1", "N": 4}),
+    ("taig", {"steps": 4}),
+    ("fuzziness_tuned", {}),
+    ("ilpd", {"feature_layer": "stage1"}),
+    ("ir", {"grid_scale": 4, "grid_num": 4, "epoch": 3}),
+    ("p2fa", {"feature_layer": "stage1", "num_ens": 3, "inner_steps": 2,
+              "epoch": 3}),
+    ("trap", {"feature_layer": "stage1", "epoch": 6, "baseline_epoch": 3}),
+]
+
+
+@pytest.mark.parametrize("name,overrides", AO_ATTACKS, ids=[n for n, _ in AO_ATTACKS])
+def test_ao_attack_constraints(toy_batch, name, overrides):
+    x, y = toy_batch
+    atk = ta.load_attack_class(name)(model_name="toy_cnn", **overrides)
+    delta = np.asarray(atk(x, y))
+    assert delta.shape == x.shape
+    assert np.all(np.abs(delta) <= EPS + 1e-5), f"{name}: eps violated"
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5, f"{name}: bounds"
+    assert np.any(delta != 0), f"{name}: zero perturbation"
+
+
+@pytest.mark.parametrize("name,overrides", [
+    ("logit", {"epoch": 10}),
+    ("logit_margin", {"epoch": 10}),
+    ("potrip", {"epoch": 10}),
+])
+def test_targeted_logit_family(toy_batch, name, overrides):
+    import jax.numpy as jnp
+    from transferattack_tpu.attack import softmax_cross_entropy
+
+    x, y = toy_batch
+    target = (y + 3) % 10
+    atk = ta.load_attack_class(name)(model_name="toy_cnn", targeted=True, **overrides)
+    delta = np.asarray(atk(x, np.stack([y, target], axis=1)))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+
+    def tloss(imgs):
+        logits = atk.model.apply(atk.model.variables, jnp.asarray(imgs))
+        return float(softmax_cross_entropy(logits, jnp.asarray(target)).mean())
+
+    assert tloss(x + delta) < tloss(x), name
+
+
+def test_aa_with_anchor_dataset(tmp_path, toy_batch):
+    from tests.make_fake_data import make_fake_dataset
+
+    root = make_fake_dataset(str(tmp_path), n=10, size=32, num_classes=10,
+                             targeted=True)
+    x, y = toy_batch
+    # targets must exist in the anchor set: use labels present in the csv
+    import csv
+
+    with open(os.path.join(root, "labels.csv")) as f:
+        rows = list(csv.reader(f))[1:]
+    labels_present = [int(r[1]) - 1 for r in rows]
+    target = np.asarray(labels_present[:4], np.int32)
+    atk = ta.load_attack_class("aa")(
+        model_name="toy_cnn", input_dir=root, layer_name="stage1", targeted=True
+    )
+    delta = np.asarray(atk(x, np.stack([y, target], axis=1)))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    assert np.any(delta != 0)
+
+
+def test_feature_tap_api(toy_batch):
+    """Surrogate.feature must return the same activation the sow records."""
+    import jax.numpy as jnp
+    from transferattack_tpu.models import make_model
+
+    x, _ = toy_batch
+    m = make_model("toy_cnn", pretrained=False)
+    logits, feat = m.feature(m.variables, jnp.asarray(x), "stage2")
+    assert feat.shape[0] == x.shape[0]
+    assert logits.shape == (4, 10)
+    # tap_fns offset probe shifts logits
+    logits2 = m.apply(
+        m.variables, jnp.asarray(x),
+        tap_fns={"stage2": lambda f: f + 1.0},
+    )
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))

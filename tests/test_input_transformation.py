@@ -1,0 +1,101 @@
+"""Input-transformation family tests (SURVEY.md §2.2) + ops-library units."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transferattack_tpu as ta
+
+EPS = 16 / 255
+
+IT_ATTACKS = [
+    ("dim", {}),
+    ("dem", {"resize_rates": (1.14, 1.27)}),
+    ("tim", {"kernel_size": 5}),
+    ("sim", {"num_scale": 3}),
+    ("admix", {"num_scale": 2, "num_admix": 2}),
+    ("usmm", {"num_scale": 2, "num_mix": 2}),
+    ("ssm", {"num_spectrum": 4, "sample_chunk": 2}),
+    ("maskblock", {"patch_size": 8}),
+    ("sia", {"num_scale": 3}),
+    ("bsr", {"num_scale": 3}),
+    ("mfi", {}),
+    ("decowa", {"num_warping": 2}),
+    ("ops", {"num_sample_neighbor": 2, "num_sample_operator": 2, "epoch": 3}),
+]
+
+
+@pytest.mark.parametrize("name,overrides", IT_ATTACKS, ids=[n for n, _ in IT_ATTACKS])
+def test_it_attack_constraints(toy_batch, name, overrides):
+    x, y = toy_batch
+    atk = ta.load_attack_class(name)(model_name="toy_cnn", **overrides)
+    delta = np.asarray(atk(x, y))
+    assert delta.shape == x.shape
+    assert np.all(np.abs(delta) <= EPS + 1e-5), f"{name}: eps violated"
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5, f"{name}: bounds"
+    assert np.any(delta != 0), f"{name}: zero perturbation"
+
+
+def test_dct_roundtrip():
+    from transferattack_tpu.ops import dct_2d, idct_2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(idct_2d(dct_2d(x))), np.asarray(x), atol=1e-4)
+    # orthonormality: energy preserved
+    np.testing.assert_allclose(
+        float(jnp.sum(dct_2d(x) ** 2)), float(jnp.sum(x**2)), rtol=1e-4
+    )
+
+
+def test_affine_warp_identity_and_translate():
+    from transferattack_tpu.ops import affine_warp, translate
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 8, 8, 1).astype(np.float32))
+    eye = jnp.asarray([[[1.0, 0, 0], [0, 1, 0]]])
+    np.testing.assert_allclose(np.asarray(affine_warp(x, eye)), np.asarray(x), atol=1e-5)
+    # shift sampling grid by exactly 2 pixels right (normalized 2*2/8=0.5):
+    # content moves left; out[..., j] == x[..., j+2]
+    out = np.asarray(translate(x, 0.5, 0.0))[0, :, :-2, 0]
+    np.testing.assert_allclose(out, np.asarray(x)[0, :, 2:, 0], atol=1e-4)
+
+
+def test_grid_sample_differentiable():
+    from transferattack_tpu.ops import rotate
+
+    x = jnp.ones((1, 8, 8, 1))
+    g = jax.grad(lambda im: rotate(im, 0.3).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_tim_kernel_matches_scipy_free_formula():
+    from transferattack_tpu.ops import gaussian_kernel
+
+    k = gaussian_kernel(15)
+    assert k.shape == (15, 15)
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+    assert k[7, 7] == k.max()
+
+
+def test_sia_blocktransform_preserves_shape_and_content():
+    from transferattack_tpu.input_transformation.sia import sia_blocktransform
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    out = sia_blocktransform(x, jax.random.PRNGKey(0), 3)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bsr_permutation_is_content_preserving_without_rotation():
+    """Strip shuffles are pure permutations: row sums multiset preserved."""
+    from transferattack_tpu.ops.blocks import bsr_lengths, permute_strips
+
+    key = jax.random.PRNGKey(3)
+    edges = bsr_lengths(key, 16, 3)
+    perm = jax.random.permutation(jax.random.PRNGKey(4), 3)
+    rowmap = np.asarray(permute_strips(edges, perm, 16))
+    assert sorted(rowmap.tolist()) == list(range(16))

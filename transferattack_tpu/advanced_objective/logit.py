@@ -1,0 +1,134 @@
+"""Targeted logit-loss family (reference:
+``transferattack/advanced_objective/{logit,logit_margin,potrip}.py``).
+
+All three run the targeted protocol (T=300, alpha=2/255) with built-in
+DI (random resize-pad, prob 0.7) + TI (gaussian kernel grad smoothing) and
+raw (unnormalized) momentum.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..attack import Attack, AttackState
+from ..input_transformation.dim import random_resize_pad
+from ..ops import gaussian_kernel, smooth_conv
+
+
+class LOGIT(Attack):
+    """Logit attack (``logit.py:28-140``): loss = Σ target logits; epoch=300,
+    alpha=2/255, DI prob 0.7, TI kernel 5."""
+
+    def __init__(self, model_name="resnet50", epoch=300, eps=16 / 255, alpha=2 / 255,
+                 decay=1.0, resize_rate=1.1, diversity_prob=0.7, kernel_size=5,
+                 targeted=True, random_start=False, norm="linfty",
+                 loss="crossentropy", attack="LOGIT", **kwargs):
+        super().__init__(model_name, epoch=epoch, eps=eps, alpha=alpha, decay=decay,
+                         targeted=targeted, random_start=random_start, norm=norm,
+                         loss=loss, attack=attack, **kwargs)
+        self.resize_rate = float(resize_rate)
+        self.diversity_prob = float(diversity_prob)
+        self.kernel = gaussian_kernel(int(kernel_size))
+
+    def transform(self, x, state: AttackState, key):
+        return random_resize_pad(x, key, self.resize_rate, self.diversity_prob)[None]
+
+    def get_loss(self, logits, y):
+        picked = jnp.take_along_axis(
+            logits, jnp.broadcast_to(y[None, :, None], logits.shape[:2] + (1,)),
+            axis=-1,
+        )
+        total = picked.sum()
+        return total if self.targeted else -total
+
+    def post_grad(self, grad, state: AttackState):
+        return smooth_conv(grad, self.kernel)
+
+    def get_momentum(self, grad, momentum):
+        # raw accumulation, no L1 normalize (``logit.py:87-88``)
+        return grad + self.decay * momentum
+
+
+class Logit_Margin(LOGIT):
+    """Logit-margin (``logit_margin.py``): temperature-scaled margin between
+    the target logit and the best other logit."""
+
+    def __init__(self, *args, temperature=5.0, margin_type="dynamic",
+                 attack="Logit_Margin", **kwargs):
+        kwargs["attack"] = attack
+        super().__init__(*args, **kwargs)
+        self.temperature = float(temperature)
+        self.margin_type = margin_type
+
+    def get_loss(self, logits, y):
+        lg = logits.reshape((-1,) + logits.shape[2:])
+        yb = jnp.broadcast_to(y[None], (logits.shape[0], y.shape[0])).reshape(-1)
+        tgt = jnp.take_along_axis(lg, yb[:, None], axis=1)[:, 0]
+        masked = lg - 1e9 * jax.nn.one_hot(yb, lg.shape[-1], dtype=lg.dtype)
+        top_other = masked.max(axis=-1)
+        if self.margin_type == "dynamic":
+            # temperature from the current margin scale (downscaling trick)
+            scale = jax.lax.stop_gradient(
+                jnp.maximum(jnp.abs(top_other - tgt).mean(), 1.0)
+            )
+        else:
+            scale = self.temperature
+        margin = (tgt - top_other) / scale
+        total = margin.sum()
+        return total if self.targeted else -total
+
+
+class POTRIP(LOGIT):
+    """Po+Trip (``potrip.py:30-161``): Poincaré-ball distance to the target
+    one-hot plus a cosine triplet pushing away from the source class."""
+
+    def __init__(self, *args, lamb=0.01, gamma=0.007, attack="POTRIP", **kwargs):
+        kwargs["attack"] = attack
+        kwargs.setdefault("kernel_size", 5)
+        super().__init__(*args, **kwargs)
+        self.lamb = float(lamb)
+        self.gamma = float(gamma)
+
+    def poincare_dis(self, a, b):
+        l2a = jnp.sum(a**2, axis=1)
+        l2b = jnp.sum(b**2, axis=1)
+        diff = jnp.sum((a - b) ** 2, axis=1)
+        theta = 2 * diff / ((1 - l2a) * (1 - l2b))
+        return jnp.mean(jnp.arccosh(1.0 + theta + 1e-12))
+
+    def cos_dis(self, a, b):
+        ab = jnp.abs(jnp.sum(a * b, axis=1))
+        return jnp.mean(
+            ab / (jnp.sqrt(jnp.sum(a**2, axis=1) * jnp.sum(b**2, axis=1)) + 1e-8)
+        )
+
+    def run(self, variables, x, y, key):
+        # needs both source and target labels: y is (B, 2) stacked pairs
+        self._orig_label = None
+        return super().run(variables, x, y, key)
+
+    def __call__(self, data, label, key=None, idx: int = 0):
+        import numpy as np
+
+        label = np.asarray(label)
+        if label.ndim == 2:
+            self._src_label = jnp.asarray(label[:, 0])
+        else:
+            self._src_label = jnp.asarray(label)
+        return super().__call__(data, label, key=key, idx=idx)
+
+    def get_loss(self, logits, y):
+        lg = logits.reshape((-1,) + logits.shape[2:])
+        n = lg.shape[0] // y.shape[0]
+        yb = jnp.tile(y, n)
+        src = jnp.tile(self._src_label, n)
+        C = lg.shape[-1]
+        y_tar = jax.nn.one_hot(yb, C, dtype=lg.dtype)
+        y_src = jax.nn.one_hot(src, C, dtype=lg.dtype)
+        u = lg / jnp.sum(jnp.abs(lg), axis=1, keepdims=True)
+        v = jnp.clip(y_tar - 1e-5, 0.0, 1.0)
+        loss_po = self.poincare_dis(u, v)
+        s_tar = self.cos_dis(y_tar, lg)
+        s_src = self.cos_dis(y_src, lg)
+        loss_trip = jnp.clip(s_src - s_tar + self.gamma, 0.0, 2.1)
+        return -(loss_po + self.lamb * loss_trip)

@@ -64,6 +64,51 @@ def l1_normalize(g: Array) -> Array:
     return g / (denom + 1e-12)
 
 
+def mean_over_keys(fn, key: Array, n: int, chunk: int = 1):
+    """Mean of ``fn(key_i)`` over ``n`` sampled keys.
+
+    The TPU replacement for the reference's Python sampling loops (VMI's
+    ``get_variance`` ``vmifgsm.py:42-58``, GRA/PGN neighbor averaging): a
+    ``lax.scan`` accumulation bounds memory to one sample; ``chunk > 1``
+    vmaps that many samples per scan step to feed the MXU larger batches.
+    ``fn`` may return any pytree (e.g. a (grad, aux) tuple).
+    """
+    keys = jax.random.split(key, n)
+    shapes = jax.eval_shape(fn, keys[0])
+    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if chunk > 1 and n % chunk == 0:
+        kchunks = keys.reshape(n // chunk, chunk, *keys.shape[1:])
+
+        def body(acc, ks):
+            vals = jax.vmap(fn)(ks)
+            return jax.tree.map(lambda a, v: a + v.sum(0), acc, vals), None
+
+        total, _ = jax.lax.scan(body, init, kchunks)
+    else:
+
+        def body(acc, k):
+            return jax.tree.map(lambda a, v: a + v, acc, fn(k)), None
+
+        total, _ = jax.lax.scan(body, init, keys)
+    return jax.tree.map(lambda t: t / n, total)
+
+
+def global_l1_normalize(g: Array) -> Array:
+    """Normalize by the global L1 norm (PC-I-FGSM's ``torch.norm(grad, p=1)``)."""
+    return g / (jnp.sum(jnp.abs(g)) + 1e-12)
+
+
+def cosine_similarity(a: Array, b: Array) -> Array:
+    """Per-example cosine similarity, broadcastable back over image dims
+    (GRA ``gradient/gra.py:60-73``)."""
+    af = a.reshape(a.shape[0], -1)
+    bf = b.reshape(b.shape[0], -1)
+    cos = jnp.sum(af * bf, axis=1) / (
+        jnp.linalg.norm(af, axis=1) * jnp.linalg.norm(bf, axis=1) + 1e-20
+    )
+    return cos.reshape((-1,) + (1,) * (a.ndim - 1))
+
+
 def softmax_cross_entropy(logits: Array, labels: Array) -> Array:
     """Per-example CE. ``logits``: (..., B, C); ``labels``: (B,) int."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -181,6 +226,22 @@ class Attack:
         grad = jax.grad(loss_fn)(state.delta)
         return grad, {}
 
+    def input_grad(self, variables, point: Array, y: Array, state: AttackState,
+                   key: Array) -> Array:
+        """Gradient of the loss w.r.t. an arbitrary input point.
+
+        Since delta enters additively, ``d loss/d delta`` at ``x + delta + o``
+        equals the input gradient at that point — the primitive behind all
+        neighborhood-sampling estimators (VMI/GRA/PGN/SMI-FGRM/IE-FGSM).
+        """
+
+        def loss_fn(p):
+            xs = self.transform(p, state, key)
+            logits = self.get_logits(variables, xs)
+            return self.get_loss(logits, y)
+
+        return jax.grad(loss_fn)(point)
+
     def post_grad(self, grad: Array, state: AttackState) -> Array:
         """Gradient post-processing hook (e.g. TIM's kernel convolution)."""
         return grad
@@ -252,6 +313,10 @@ class Attack:
             key = jax.random.PRNGKey(self.seed + idx)
         x = jnp.asarray(data)
         y = jnp.asarray(label)
+        if self.targeted and y.ndim == 2:
+            # targeted batches carry (ground-truth, target) pairs; attack the
+            # target column (reference ``attack.py:76-78``)
+            y = y[:, 1]
         if self._jitted_run is None:
             self._jitted_run = jax.jit(self.run)
         return self._jitted_run(self.model.variables, x, y, key)

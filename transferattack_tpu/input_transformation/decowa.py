@@ -1,0 +1,113 @@
+"""DeCowA — deformation-constrained warping attack (reference:
+``transferattack/input_transformation/decowa.py``, AAAI 2024).
+
+Thin-plate-spline warps from a 3×3 control grid whose interior point is
+first tuned by one adversarial gradient step (``update_noise_map``), then the
+live adversary is warped and attacked — ``num_warping=20`` warps averaged per
+iteration.  The TPS solve is a 12×12 ``jnp.linalg.solve``; sampling uses the
+shared bilinear ``grid_sample``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..attack import Attack, AttackState
+from ..ops.image import grid_sample
+
+
+def _k_matrix(X, Y):
+    D2 = jnp.sum((X[:, None, :] - Y[None, :, :]) ** 2, axis=-1)
+    return D2 * jnp.log(D2 + 1e-9)
+
+
+def _p_matrix(X):
+    return jnp.concatenate([jnp.ones((X.shape[0], 1), X.dtype), X], axis=1)
+
+
+def tps_grid(ctrl_src, ctrl_dst, H: int, W: int):
+    """Dense (H, W, 2) sampling grid for a TPS mapping ctrl_src → ctrl_dst
+    (reference ``TPS``/``TPS_coeffs``, ``decowa.py:84-150``)."""
+    k = ctrl_src.shape[0]
+    K = _k_matrix(ctrl_src, ctrl_src)
+    P = _p_matrix(ctrl_src)
+    L = jnp.zeros((k + 3, k + 3), ctrl_src.dtype)
+    L = L.at[:k, :k].set(K)
+    L = L.at[:k, k:].set(P)
+    L = L.at[k:, :k].set(P.T)
+    Z = jnp.zeros((k + 3, 2), ctrl_src.dtype)
+    Z = Z.at[:k].set(ctrl_dst)
+    Q = jnp.linalg.solve(L, Z)
+    Wc, A = Q[:k], Q[k:]
+
+    xs = jnp.linspace(-1.0, 1.0, W)
+    ys = jnp.linspace(-1.0, 1.0, H)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (HW, 2)
+    U = _k_matrix(pts, ctrl_src)
+    Pg = _p_matrix(pts)
+    grid = Pg @ A + U @ Wc
+    return grid.reshape(H, W, 2)
+
+
+def base_control_points(width: int, height: int, dtype=jnp.float32):
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (h·w, 2) as (x, y)
+
+
+class DeCowA(Attack):
+    """Official args (``decowa.py:28``): mesh 3×3, rho=0.01, num_warping=20,
+    noise_scale=2."""
+
+    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
+                 decay=1.0, mesh_width=3, mesh_height=3, rho=0.01, num_warping=20,
+                 noise_scale=2.0, targeted=False, random_start=False, norm="linfty",
+                 loss="crossentropy", attack="DeCowA", **kwargs):
+        super().__init__(model_name, epoch=epoch, eps=eps, alpha=alpha, decay=decay,
+                         targeted=targeted, random_start=random_start, norm=norm,
+                         loss=loss, attack=attack, **kwargs)
+        self.mesh_width = int(mesh_width)
+        self.mesh_height = int(mesh_height)
+        self.rho = float(rho)
+        self.num_warping = int(num_warping)
+        self.noise_scale = float(noise_scale)
+
+    def _warp(self, x, noise_map):
+        """Warp with interior control points displaced by ``noise_map``."""
+        H, W = x.shape[1], x.shape[2]
+        src = base_control_points(self.mesh_width, self.mesh_height, x.dtype)
+        mod = jnp.zeros((self.mesh_height, self.mesh_width, 2), x.dtype)
+        mod = mod.at[1 : self.mesh_height - 1, 1 : self.mesh_width - 1].set(noise_map)
+        dst = src + mod.reshape(-1, 2)
+        grid = tps_grid(src, dst, H, W)
+        return grid_sample(x, jnp.broadcast_to(grid[None], (x.shape[0],) + grid.shape))
+
+    def _model_loss(self, variables, pts, y):
+        logits = self.model.apply(variables, pts)
+        return self.get_loss(logits[None], y)
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        xadv = x + state.delta
+
+        def one_warp(k):
+            nm0 = (
+                jax.random.uniform(
+                    k, (self.mesh_height - 2, self.mesh_width - 2, 2), x.dtype
+                )
+                - 0.5
+            ) * self.noise_scale
+            adv = jax.lax.stop_gradient(xadv)
+            # one inner step maximizing attack difficulty w.r.t. the map
+            g_nm = jax.grad(
+                lambda nm: self._model_loss(variables, self._warp(adv, nm), y)
+            )(nm0)
+            nm = jax.lax.stop_gradient(nm0 - self.rho * g_nm)
+            return jax.grad(
+                lambda d: self._model_loss(variables, self._warp(x + d, nm), y)
+            )(state.delta)
+
+        keys = jax.random.split(key, self.num_warping)
+        grads = jax.lax.map(one_warp, keys)
+        return grads.mean(0), {}

@@ -91,13 +91,39 @@ class Surrogate:
     def apply(self, variables, x, **kwargs):
         return self.module.apply(variables, x, **kwargs)
 
-    def apply_with_feats(self, variables, x, layer_filter):
+    def feature(self, variables, x, layer: str, **kwargs):
+        """(logits, feature) at a named tap.
+
+        ``layer`` uses reference naming: ``layer2`` → per-stage sow
+        ``stage2``; ``layer2.3`` → block module ``layer2_3``; Inception mixed
+        blocks by their own names.  Replaces FIA-style forward hooks
+        (``advanced_objective/fia.py:55-61``).
+        """
+        key = tap_key(layer)
+        logits, feats = self.apply_with_feats(variables, x, key, **kwargs)
+        found = find_feature(feats, key)
+        if found is None:
+            raise KeyError(f"No feature {layer!r} (key {key!r}) in intermediates")
+        return logits, found
+
+    def feature_shape(self, x_shape, layer: str):
+        """Static shape of a tap's activation (for offset probes)."""
+        import jax
+
+        dummy = jnp.zeros(x_shape, jnp.float32)
+        shapes = jax.eval_shape(
+            lambda v, d: self.feature(v, d, layer)[1], self.variables, dummy
+        )
+        return shapes.shape
+
+    def apply_with_feats(self, variables, x, layer_filter, **kwargs):
         """Forward pass that also returns intermediate activations.
 
         Replaces the reference's ``register_forward_hook`` pattern
         (e.g. ``advanced_objective/fia.py:55-61``).  ``layer_filter`` is either
         a path substring or a ``(module, method_name) -> bool`` callable; the
-        returned dict maps module paths to their outputs.
+        returned dict maps module paths to their outputs (plus any sown
+        per-stage entries).
         """
         if callable(layer_filter):
             filt = layer_filter
@@ -106,9 +132,40 @@ class Surrogate:
                 return layer_filter in "/".join(str(p) for p in mdl.path)
 
         logits, state = self.module.apply(
-            variables, x, capture_intermediates=filt, mutable=["intermediates"]
+            variables, x, capture_intermediates=filt, mutable=["intermediates"],
+            **kwargs,
         )
         return logits, state["intermediates"]
+
+
+def tap_key(reference_layer: str) -> str:
+    """Map a reference layer spec to our tap/intermediate key:
+    ``'layer2'`` → ``'stage2'``; ``'layer2.3'``/``'layer2 3'`` → ``'layer2_3'``;
+    anything else passes through (``Mixed_5b``, ``stage1``, ...)."""
+    name = reference_layer.replace(" ", ".").strip()
+    if "." in name:
+        return name.replace(".", "_")
+    if name.startswith("layer") and name[5:].isdigit():
+        return "stage" + name[5:]
+    return name
+
+
+def find_feature(tree, key: str):
+    """DFS for an intermediates entry named ``key``; unwraps sow tuples and
+    ``__call__`` capture dicts."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == key:
+                node = v
+                if isinstance(node, dict) and "__call__" in node:
+                    node = node["__call__"]
+                if isinstance(node, (tuple, list)):
+                    node = node[0]
+                return node
+            res = find_feature(v, key)
+            if res is not None:
+                return res
+    return None
 
 
 def _weights_path(name: str) -> Optional[str]:
@@ -145,12 +202,25 @@ def save_npz_variables(path: str, variables) -> None:
     np.savez(path, **flat)
 
 
-def make_model(name: str, pretrained: bool = True, seed: int = 42, **kwargs) -> Surrogate:
+def make_model(
+    name: str,
+    pretrained: bool = True,
+    seed: int = 42,
+    input_size: Optional[int] = None,
+    **kwargs,
+) -> Surrogate:
     """Build a wrapped surrogate by registry name (the reference's
-    torchvision-then-timm resolution, ``attack.py:51-60``)."""
+    torchvision-then-timm resolution, ``attack.py:51-60``).
+
+    ``input_size`` overrides the registry's native resolution (used by the
+    multi-chip dry-run and fast tests; pretrained weights assume the native
+    size).
+    """
     if name not in _MODEL_REGISTRY:
         raise ValueError(f"Unknown model {name!r}; available: {list_models()}")
     builder, size, mean, std = _MODEL_REGISTRY[name]
+    if input_size is not None:
+        size = input_size
     backbone = builder(**kwargs)
     module = WrappedModel(backbone=backbone, size=size, mean=mean, std=std)
     wpath = _weights_path(name) if pretrained else None
@@ -227,3 +297,11 @@ def resolve_model(spec, **kwargs) -> Surrogate:
 # Import model definition modules for registration side effects.
 from . import toy  # noqa: E402,F401
 from . import resnet  # noqa: E402,F401
+from . import vgg  # noqa: E402,F401
+from . import mobilenet  # noqa: E402,F401
+from . import inception  # noqa: E402,F401
+from . import densenet  # noqa: E402,F401
+from . import vit  # noqa: E402,F401
+from . import pit  # noqa: E402,F401
+from . import swin  # noqa: E402,F401
+from . import visformer  # noqa: E402,F401

@@ -198,8 +198,15 @@ class ResNet(nn.Module):
     surgery: SurgeryConfig = DEFAULT_SURGERY
 
     @nn.compact
-    def __call__(self, x, features_only: bool = False):
+    def __call__(self, x, features_only: bool = False, tap_fns=None):
+        """``tap_fns``: optional dict mapping tap names (``stage{i}``, or a
+        block name like ``layer2_3``) to pure functions applied to that
+        activation in the forward graph — the functional replacement for the
+        reference's forward/backward hooks (FIA ``fia.py:55-61``, ILPD
+        feature mixing, FAUG noise injection).  Differentiating w.r.t. a
+        value closed over by a tap gives the hooked feature gradient."""
         s = self.surgery
+        taps = tap_fns or {}
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             name="conv1",
@@ -226,7 +233,11 @@ class ResNet(nn.Module):
                 if self.block_cls is Bottleneck:
                     kwargs.update(groups=self.groups, base_width=self.base_width)
                 x = self.block_cls(**kwargs)(x)
+                if f"layer{i + 1}_{j}" in taps:
+                    x = taps[f"layer{i + 1}_{j}"](x)
                 block_idx += 1
+            if f"stage{i + 1}" in taps:
+                x = taps[f"stage{i + 1}"](x)
             # expose per-stage features for feature-level attacks via sow
             self.sow("intermediates", f"stage{i + 1}", x)
         x = jnp.mean(x, axis=(1, 2))

@@ -17,12 +17,17 @@ class ToyCNN(nn.Module):
     width: int = 16
 
     @nn.compact
-    def __call__(self, x, features_only: bool = False):
+    def __call__(self, x, features_only: bool = False, tap_fns=None):
+        taps = tap_fns or {}
         x = nn.Conv(self.width, (3, 3), strides=(2, 2), name="conv1")(x)
         x = nn.relu(x)
+        if "stage1" in taps:
+            x = taps["stage1"](x)
         self.sow("intermediates", "stage1", x)
         x = nn.Conv(self.width * 2, (3, 3), strides=(2, 2), name="conv2")(x)
         x = nn.relu(x)
+        if "stage2" in taps:
+            x = taps["stage2"](x)
         self.sow("intermediates", "stage2", x)
         x = jnp.mean(x, axis=(1, 2))
         if features_only:

@@ -1,0 +1,189 @@
+"""ViT-B/16 (timm layout, NHWC input) with gradient-surgery hook points.
+
+The ViT-specific attacks (PNA-PatchOut ``model_related/pna_patchout.py``, SAPR
+``sapr.py``, TGR ``tgr.py``, VDC ``vdc.py``, ATT ``att.py``, FPR ``fpr.py``)
+mutate gradients/activations of attention internals via torch hooks.  Here
+the transformer exposes explicit surgery callbacks — pure functions applied
+inside ``jax.custom_vjp`` wrappers on the attention map, QKV, and MLP paths —
+so every hook becomes a jit-compatible config.
+
+Naming tracks timm's ``vit_base_patch16_224`` for weight conversion:
+``patch_embed.proj`` → ``patch_embed``; ``blocks.i.attn.qkv`` →
+``blocks_i/attn/qkv``; etc.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import register_model
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTSurgery:
+    """Gradient/activation surgery hooks.
+
+    Each ``*_bwd`` is ``fn(grad, meta) -> grad`` applied to the cotangent of
+    that tensor; ``attn_post`` is ``fn(attn_weights, meta) -> weights``
+    applied in the forward (SAPR token permutation, FPR refinement).
+    ``meta`` is a dict with ``block`` (index) and RNG key when available.
+    """
+
+    attn_bwd: Optional[Callable] = None   # grad of softmax attention map
+    qkv_bwd: Optional[Callable] = None    # grad of the fused qkv projection
+    mlp_bwd: Optional[Callable] = None    # grad of mlp hidden activations
+    attn_post: Optional[Callable] = None  # forward-mode attention map edit
+    skip_attn_grad: bool = False          # PNA: drop grads through attn map
+
+    def __hash__(self):
+        return hash((id(self.attn_bwd), id(self.qkv_bwd), id(self.mlp_bwd),
+                     id(self.attn_post), self.skip_attn_grad))
+
+
+DEFAULT_VIT_SURGERY = ViTSurgery()
+
+
+def apply_bwd_hook(x, hook: Optional[Callable], meta):
+    """Identity whose backward applies ``hook`` to the cotangent."""
+    if hook is None:
+        return x
+
+    @jax.custom_vjp
+    def _ident(v):
+        return v
+
+    def fwd(v):
+        return v, None
+
+    def bwd(_, g):
+        return (hook(g, meta),)
+
+    _ident.defvjp(fwd, bwd)
+    return _ident(x)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    block_index: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        h = self.num_heads
+        head_dim = D // h
+        s = self.surgery
+        meta = {"block": self.block_index, "num_heads": h, "tokens": N}
+
+        qkv = nn.Dense(D * 3, name="qkv")(x)
+        qkv = apply_bwd_hook(qkv, s.qkv_bwd, meta)
+        qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1)  # (B, h, N, N)
+        if s.attn_post is not None:
+            attn = s.attn_post(attn, meta)
+        if s.skip_attn_grad:
+            # PNA (``pna_patchout.py``): forward through attention, but the
+            # backward pass treats the attention map as a constant
+            attn = jax.lax.stop_gradient(attn)
+        else:
+            attn = apply_bwd_hook(attn, s.attn_bwd, meta)
+
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        self.sow("intermediates", "attn", attn)
+        return nn.Dense(D, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    block_index: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        meta = {"block": self.block_index}
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = apply_bwd_hook(x, self.surgery.mlp_bwd, meta)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    block_index: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(
+            self.dim, self.num_heads, self.surgery, self.block_index, name="attn"
+        )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+        x = x + Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.surgery,
+            self.block_index, name="mlp",
+        )(nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
+        self.sow("intermediates", "block_out", x)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    token_drop: float = 0.0  # PNA-PatchOut random patch drop (rng 'patch')
+
+    @nn.compact
+    def __call__(self, x, features_only: bool = False):
+        B = x.shape[0]
+        x = nn.Conv(
+            self.dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), name="patch_embed",
+        )(x)
+        x = x.reshape(B, -1, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
+        )
+        x = x + pos
+        if self.token_drop > 0.0:
+            # PatchOut: randomly zero patch tokens per forward (never the cls)
+            rng = self.make_rng("patch")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.token_drop, (B, x.shape[1], 1)
+            ).astype(x.dtype)
+            keep = keep.at[:, 0, :].set(1.0)
+            x = x * keep
+        for i in range(self.depth):
+            x = Block(
+                self.dim, self.num_heads, self.mlp_ratio, self.surgery, i,
+                name=f"blocks_{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        feats = x[:, 0]
+        if features_only:
+            return feats
+        return nn.Dense(self.num_classes, name="head")(feats)
+
+
+register_model("vit_base_patch16_224")(VisionTransformer)
+register_model("vit_small_patch16_224")(
+    lambda **kw: VisionTransformer(dim=384, depth=12, num_heads=6, **kw)
+)
+register_model("deit_base_distilled_patch16_224")(
+    lambda **kw: VisionTransformer(**kw)  # distillation token folded for attack use
+)

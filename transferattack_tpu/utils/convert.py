@@ -1,0 +1,175 @@
+"""PyTorch state_dict → Flax variables converter.
+
+The reference pulls pretrained surrogates from torchvision/timm at runtime
+(``transferattack/attack.py:51-60``).  This environment has no model hub
+access, so conversion is offline: the user supplies ``<name>.pth`` (a plain
+``state_dict``), this module maps it onto the matching Flax module tree and
+saves ``$TA_TPU_WEIGHTS_DIR/<name>.npz`` for ``models.make_model`` to load.
+
+Mapping rules
+-------------
+* ``Conv2d.weight`` (O,I,H,W) → ``kernel`` (H,W,I,O); depthwise convs
+  (I==1, groups==C) → (H,W,1,O).
+* ``Linear.weight`` (O,I) → ``kernel`` (I,O); bias passthrough.
+* ``BatchNorm``: weight→``scale``, bias→``bias`` under params;
+  running_mean→``mean``, running_var→``var`` under batch_stats.
+* ``LayerNorm``: weight→``scale``, bias→``bias``.
+* Dots in module paths become ``/``; list indices merge with their parent
+  (``layer1.0`` → ``layer1_0``, ``blocks.3`` → ``blocks_3``) per each model
+  file's documented naming.
+
+CLI: ``python -m transferattack_tpu.utils.convert <name> <state_dict.pth>``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+_BN_SUFFIXES = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+# module-path fragments that are BatchNorm in our model definitions
+_BN_HINTS = re.compile(
+    r"(^|/)(bn[0-9]?|bn_[0-9]+|norm[0-9]?|downsample_bn|norm|"
+    r"denseblock[0-9]+_denselayer[0-9]+/norm[12])($|/)"
+)
+_LN_HINTS = re.compile(r"(^|/)(norm1|norm2|norm)($|/)")
+
+
+def _merge_indices(key: str) -> str:
+    """``layer1.0.conv1`` → ``layer1_0/conv1``; ``blocks.3.attn`` →
+    ``blocks_3/attn``; plain numeric segments merge into the previous one."""
+    parts = key.split(".")
+    merged = []
+    for p in parts:
+        if p.isdigit() and merged:
+            merged[-1] = f"{merged[-1]}_{p}"
+        else:
+            merged.append(p)
+    return "/".join(merged)
+
+
+def convert_tensor(path: str, arr: np.ndarray, is_bn: bool):
+    """Returns (collection, leaf_name, converted_array)."""
+    leaf = path.rsplit("/", 1)[-1]
+    if is_bn and leaf in _BN_SUFFIXES:
+        coll, name = _BN_SUFFIXES[leaf]
+        return coll, name, arr
+    if leaf == "weight":
+        if arr.ndim == 4:  # conv OIHW → HWIO
+            return "params", "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:  # linear
+            return "params", "kernel", arr.T
+        # 1-D weight outside BN → LayerNorm scale
+        return "params", "scale", arr
+    if leaf == "bias":
+        return "params", "bias", arr
+    return "params", leaf, arr
+
+
+def torch_state_dict_to_flax(
+    state: Dict[str, Any],
+    bn_paths: re.Pattern = _BN_HINTS,
+    prefix: str = "backbone",
+) -> Dict[str, Dict]:
+    """Convert a flat torch ``state_dict`` (tensors or ndarrays) into a Flax
+    variables dict ``{'params': ..., 'batch_stats': ...}``."""
+    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    def insert(coll, path_parts, value):
+        node = out[coll]
+        for p in path_parts[:-1]:
+            node = node.setdefault(p, {})
+        node[path_parts[-1]] = value
+
+    for key, tensor in state.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+        )
+        merged = _merge_indices(key)
+        mod_path = merged.rsplit("/", 1)[0] if "/" in merged else ""
+        is_bn = bool(bn_paths.search(mod_path)) or merged.rsplit("/", 1)[-1] in (
+            "running_mean", "running_var",
+        )
+        coll, leaf, conv = convert_tensor(merged, arr, is_bn)
+        parts = ([prefix] if prefix else []) + (
+            mod_path.split("/") if mod_path else []
+        ) + [leaf]
+        insert(coll, parts, conv)
+
+    if not out["batch_stats"]:
+        del out["batch_stats"]
+    return out
+
+
+def reconcile_with_module(converted: Dict, reference_vars: Dict) -> Dict:
+    """Walk the module's own init tree and pull matching leaves from the
+    converted dict — shape-checked, with a report of misses."""
+    import jax
+
+    missing, mismatched = [], []
+
+    def walk(ref, conv, path):
+        if not isinstance(ref, dict):
+            if conv is None:
+                missing.append("/".join(path))
+                return ref
+            if tuple(np.shape(conv)) != tuple(np.shape(ref)):
+                mismatched.append(
+                    f"{'/'.join(path)}: ckpt{np.shape(conv)} vs model{np.shape(ref)}"
+                )
+                return ref
+            return np.asarray(conv, dtype=np.asarray(ref).dtype)
+        return {
+            k: walk(v, (conv or {}).get(k) if isinstance(conv, dict) else None,
+                    path + [k])
+            for k, v in ref.items()
+        }
+
+    result = {
+        coll: walk(tree, converted.get(coll), [coll])
+        for coll, tree in reference_vars.items()
+    }
+    report = {"missing": missing, "mismatched": mismatched}
+    return result, report
+
+
+def convert_and_save(name: str, state_dict_path: str, out_dir: str = None) -> str:
+    """End-to-end: load .pth, convert, reconcile against the registered
+    model, save npz; returns the npz path."""
+    import torch
+
+    from ..models import make_model, save_npz_variables
+
+    state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    converted = torch_state_dict_to_flax(state)
+    surrogate = make_model(name, pretrained=False)
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    if report["missing"] or report["mismatched"]:
+        print(f"[convert] {name}: {len(report['missing'])} missing, "
+              f"{len(report['mismatched'])} mismatched")
+        for m in (report["missing"] + report["mismatched"])[:20]:
+            print("  ", m)
+    out_dir = out_dir or os.environ.get(
+        "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+    )
+    path = os.path.join(out_dir, f"{name}.npz")
+    save_npz_variables(path, variables)
+    return path
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(convert_and_save(sys.argv[1], sys.argv[2]))
