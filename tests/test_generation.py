@@ -1,0 +1,84 @@
+"""Generation family tests (SURVEY.md §2.6): generator shapes, eps clamp,
+frequency-gate math."""
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transferattack_tpu as ta
+
+EPS = 16 / 255
+
+
+@pytest.mark.parametrize("name", ["ttp", "m3d", "cdtp", "ltp", "dsva"])
+def test_generator_attacks_produce_bounded_delta(name):
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class(name)()
+        delta = np.asarray(atk(x, y, idx=0))
+    assert delta.shape == x.shape
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+
+
+def test_ada_stochastic_latent():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("ada")()
+        d1 = np.asarray(atk(x, y, key=jax.random.PRNGKey(0)))
+        d2 = np.asarray(atk(x, y, key=jax.random.PRNGKey(1)))
+    assert not np.allclose(d1, d2)
+    assert np.all(np.abs(d1) <= EPS + 1e-5)
+
+
+def test_aim_guide_conditioning():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    y = np.asarray([3], np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("aim")()
+        delta = np.asarray(atk(x, np.stack([y, np.asarray([24])], 1), idx=0))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+
+
+def test_fap_block_dct_roundtrip_and_gate():
+    from transferattack_tpu.generation.fap import (
+        block_dct, block_idct, rgb_to_ycbcr, ycbcr_to_rgb, zigzag_lowfreq_mask,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    u = block_dct(x, 8)
+    back = block_idct(u, 8, 16, 16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    # color roundtrip
+    np.testing.assert_allclose(
+        np.asarray(ycbcr_to_rgb(rgb_to_ycbcr(x))), np.asarray(x), atol=1e-4
+    )
+    m = zigzag_lowfreq_mask(8, 10)
+    assert m.sum() == 10
+    assert m[0, 0] == 1.0  # DC always kept
+
+
+def test_fap_attack_runs(toy_batch):
+    x, y = toy_batch
+    atk = ta.load_attack_class("fap")(model_name="toy_cnn", epoch=3, top_n=32)
+    delta = np.asarray(atk(x, y))
+    # FAP's budget is scaled by 192/top_n (reference ``fap.py:66``)
+    assert np.all(np.abs(delta) <= EPS * 192 / 32 + 1e-5)
+    assert np.any(delta != 0)
+
+
+def test_diffattack_raises_with_guidance():
+    with pytest.raises(NotImplementedError):
+        ta.load_attack_class("diffattack")()

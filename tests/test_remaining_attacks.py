@@ -1,0 +1,65 @@
+"""Remaining attack families: learned IT, ViT model_related, metassa, L2T,
+generation-adjacent (SURVEY.md §2.2/§2.4 tails).  Small configs, toy models.
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+import transferattack_tpu as ta
+
+EPS = 16 / 255
+VIT = dict(model_name="vit_small_patch16_224", pretrained=False, input_size=32,
+           epoch=3)
+RN = dict(model_name="resnet18", pretrained=False, input_size=32, epoch=3)
+
+CASES = [
+    ("su", dict(model_name="toy_cnn", feature_layer="stage2", epoch=3), True),
+    ("idaa", dict(model_name="toy_cnn", num_scale=3, epoch=3), True),
+    ("everywhere", dict(model_name="toy_cnn", epoch=3, N=3, num_blocks=4), True),
+    ("l2t", dict(model_name="toy_cnn", epoch=3, num_scale=2), False),
+    ("atta", dict(model_name="toy_cnn", epoch=3), False),
+    ("stm", dict(model_name="toy_cnn", num_style=3, epoch=3, sample_chunk=1), False),
+    ("pam", dict(model_name="toy_cnn", epoch=3), False),
+    ("aitl", dict(model_name="toy_cnn", epoch=3), False),
+    ("lpm", dict(model_name="toy_cnn", epoch=3, patch_grid=4, pop_size=4,
+                 de_iters=2), False),
+    ("ssm_h", dict(model_name="toy_cnn", num_spectrum=3, epoch=3,
+                   sample_chunk=1), False),
+    ("ssm_p", dict(model_name="toy_cnn", num_spectrum=3, epoch=3,
+                   sample_chunk=1), False),
+    ("odi", dict(model_name="toy_cnn", epoch=3, num_views=2), True),
+    ("metassa", dict(RN, n_sample=2), False),
+    ("vdc", dict(VIT), False),
+    ("fpr", dict(VIT), False),
+    ("att", dict(VIT, crop_length=8, sample_num_patches=10), False),
+    ("setr", dict(VIT), False),
+    ("llta", dict(RN, inner_iters=2, nsample=2, task_num=2), False),
+    ("ll2s", dict(VIT), False),
+    ("ata_vit", dict(VIT), False),
+]
+
+
+@pytest.mark.parametrize("name,overrides,targeted", CASES,
+                         ids=[c[0] for c in CASES])
+def test_remaining_attack_constraints(toy_batch, name, overrides, targeted):
+    x, y = toy_batch
+    n_cls = 10 if overrides.get("model_name") == "toy_cnn" else 1000
+    y = y % n_cls
+    tgt = (y + 3) % n_cls
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class(name)(targeted=targeted, **overrides)
+        lbl = np.stack([y, tgt], 1) if targeted else y
+        delta = np.asarray(atk(x, lbl))
+    assert delta.shape == x.shape
+    assert np.all(np.abs(delta) <= EPS + 1e-5), f"{name}: eps violated"
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5, f"{name}: bounds"
+    assert np.any(delta != 0), f"{name}: zero perturbation"
+
+
+def test_registry_size_covers_reference_zoo():
+    """The reference registers ~105 attacks (SURVEY.md §1/L2); ours must
+    cover the same key set."""
+    assert len(ta.attack_zoo) >= 100

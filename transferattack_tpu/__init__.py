@@ -59,6 +59,18 @@ attack_zoo: Dict[str, Tuple[str, str]] = {
     "mfi": (".input_transformation.mfi", "MFI"),
     "decowa": (".input_transformation.decowa", "DeCowA"),
     "ops": (".input_transformation.ops_attack", "OPS"),
+    "su": (".input_transformation.su", "SU"),
+    "idaa": (".input_transformation.idaa", "IDAA"),
+    "everywhere": (".input_transformation.idaa", "EverywhereAttack"),
+    "l2t": (".input_transformation.l2t", "L2T"),
+    "atta": (".input_transformation.learned", "ATTA"),
+    "stm": (".input_transformation.learned", "STM"),
+    "pam": (".input_transformation.learned", "PAM"),
+    "aitl": (".input_transformation.learned", "AITL"),
+    "lpm": (".input_transformation.learned", "LPM"),
+    "ssm_h": (".input_transformation.ssm_tricks", "SSM_H"),
+    "ssm_p": (".input_transformation.ssm_tricks", "SSM_P"),
+    "odi": (".input_transformation.ssm_tricks", "ODI"),
     # advanced_objective/ (reference ``__init__.py:68-95``)
     "tap": (".advanced_objective.tap", "TAP"),
     "ila": (".advanced_objective.ila", "ILA"),
@@ -78,6 +90,62 @@ attack_zoo: Dict[str, Tuple[str, str]] = {
     "ir": (".advanced_objective.ir", "IR"),
     "p2fa": (".advanced_objective.ir", "P2FA"),
     "trap": (".advanced_objective.ir", "TRAP"),
+    "ata": (".advanced_objective.cfm", "ATA"),
+    "mfaa": (".advanced_objective.cfm", "MFAA"),
+    "yaila": (".advanced_objective.cfm", "YAILA"),
+    "cfm": (".advanced_objective.cfm", "CFM"),
+    "ftm": (".advanced_objective.cfm", "FTM"),
+    "fft": (".advanced_objective.cfm", "FFT"),
+    # model_related/ (reference ``__init__.py:95-122``)
+    "sgm": (".model_related.sgm", "SGM"),
+    "linbp": (".model_related.sgm", "LinBP"),
+    "iaa": (".model_related.sgm", "IAA"),
+    "bpa": (".model_related.sgm", "BPA"),
+    "ghost": (".model_related.sgm", "GhostNetwork_MIFGSM"),
+    "dhf": (".model_related.dhf", "DHF_MIFGSM"),
+    "tgr": (".model_related.vit_attacks", "TGR"),
+    "pna_patchout": (".model_related.vit_attacks", "PNA_PatchOut"),
+    "sapr": (".model_related.vit_attacks", "SAPR"),
+    "fdap": (".model_related.vit_attacks", "FDAP"),
+    "mup": (".model_related.weight_attacks", "MUP"),
+    "awt": (".model_related.weight_attacks", "AWT"),
+    "faug": (".model_related.weight_attacks", "FAUG"),
+    "dra": (".model_related.checkpoint_surrogates", "DRA"),
+    "mta": (".model_related.checkpoint_surrogates", "MTA"),
+    "dsm": (".model_related.checkpoint_surrogates", "DSM"),
+    "ags": (".model_related.checkpoint_surrogates", "AGS"),
+    "ma": (".model_related.checkpoint_surrogates", "MA"),
+    "ana": (".model_related.checkpoint_surrogates", "ANA"),
+    "qaa": (".model_related.checkpoint_surrogates", "QAA"),
+    "metassa": (".model_related.metassa", "MetaSSA"),
+    "vdc": (".model_related.vit_attacks2", "VDC"),
+    "fpr": (".model_related.vit_attacks2", "FPR"),
+    "att": (".model_related.vit_attacks2", "ATT"),
+    "setr": (".model_related.vit_attacks2", "SETR"),
+    "llta": (".model_related.llta", "LLTA"),
+    "ll2s": (".model_related.llta", "LL2S"),
+    "ata_vit": (".model_related.llta", "ATA_ViT"),
+    # ensemble/ (reference ``__init__.py:124-137``)
+    "ens": (".ensemble.ens", "ENS"),
+    "svre": (".ensemble.ens", "SVRE"),
+    "cwa": (".ensemble.ens", "CWA"),
+    "adaea": (".ensemble.ens", "AdaEA"),
+    "smer": (".ensemble.ens", "SMER"),
+    "lgv": (".ensemble.lgv", "LGV"),
+    "mba": (".ensemble.lgv", "MBA"),
+    "sasd_ws": (".ensemble.lgv", "SASD_WS"),
+    "rfcoa": (".ensemble.rfcoa", "RFCoA"),
+    # generation/ (reference ``__init__.py:139-152``)
+    "cdtp": (".generation.ttp", "CDTP"),
+    "ltp": (".generation.ttp", "LTP"),
+    "ada": (".generation.ttp", "ADA"),
+    "ge_advgan": (".generation.ttp", "GE_ADVGAN"),
+    "dsva": (".generation.ttp", "DSVA"),
+    "fap": (".generation.fap", "FAP"),
+    "ttp": (".generation.ttp", "TTP"),
+    "m3d": (".generation.ttp", "M3D"),
+    "aim": (".generation.aim", "AIM"),
+    "diffattack": (".generation.aim", "DiffAttack"),
 }
 
 

@@ -1,0 +1,133 @@
+"""CNN gradient-surgery surrogates (reference:
+``transferattack/model_related/{sgm,linbp,iaa,bpa,ghost,dhf}.py``).
+
+Every torch backward-hook / module-swap trick becomes a ``SurgeryConfig``
+field on the Flax ResNet (``models/resnet.py``): γ-scaled ReLU grads (SGM),
+identity-backward ReLUs from a block on (LinBP), Softplus + residual
+downweighting (IAA), SiLU-derivative ReLUs + softmax-backward maxpool (BPA),
+per-channel random skip scaling drawn each forward (ghost networks), and
+benign-feature mixup taps (DHF).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..attack import AttackState
+from ..gradient.mifgsm import MIFGSM, NIFGSM
+from ..models import make_model
+from ..models.resnet import SurgeryConfig
+
+# global block index of each ResNet-50 stage start (3/4/6/3 blocks)
+_RN50_STAGE_START = {1: 0, 2: 3, 3: 7, 4: 13}
+
+
+def _block_index(layer_spec: str, arch: str = "resnet50") -> int:
+    """'3_1' → global block index 8 on ResNet-50 (``linbp.py:35``)."""
+    stage, blk = (int(v) for v in layer_spec.split("_"))
+    return _RN50_STAGE_START[stage] + blk
+
+
+class SGM(MIFGSM):
+    """Skip gradient method (``sgm.py:9-97``): γ^0.5 per inner ReLU on
+    Bottleneck architectures, γ on BasicBlock ones."""
+
+    def __init__(self, model_name="resnet50", gamma=0.2, **kwargs):
+        bottleneck = any(k in model_name for k in ("resnet50", "resnet101", "resnet152"))
+        eff = gamma**0.5 if bottleneck else gamma
+        kwargs.setdefault("attack", "SGM")
+        surgery = SurgeryConfig(gamma=eff)
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class LinBP(MIFGSM):
+    """Linear backprop (``linbp.py:7-177``): identity ReLU backward from
+    linbp_layer='3_1' on; epoch=300 in the reference signature but the zoo
+    runs the standard protocol."""
+
+    def __init__(self, model_name="resnet50", linbp_layer="3_1", **kwargs):
+        kwargs.setdefault("attack", "LinBP")
+        surgery = SurgeryConfig(linbp_start=_block_index(linbp_layer))
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class IAA(MIFGSM):
+    """Intrinsic adversarial attack (``iaa.py:8-123``): ReLU→Softplus(β) and
+    per-stage residual-branch downweighting λ."""
+
+    BETAS = {"resnet18": 20, "resnet34": 20, "resnet50": 20, "resnet152": 32}
+    LAMBDAS = {
+        "resnet18": (0.98, 0.87, 0.73, 0.19),
+        "resnet34": (0.98, 0.87, 0.73, 0.19),
+        "resnet50": (0.98, 0.87, 0.73, 0.19),
+        "resnet152": (0.89, 0.88, 0.70, 0.20),
+    }
+
+    def __init__(self, model_name="resnet50", **kwargs):
+        kwargs.setdefault("attack", "IAA")
+        if model_name not in self.BETAS:
+            raise ValueError(f"IAA does not support {model_name}")
+        surgery = SurgeryConfig(
+            softplus_beta=float(self.BETAS[model_name]),
+            residual_scale=self.LAMBDAS[model_name],
+        )
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class BPA(MIFGSM):
+    """Backward-pass alignment (``bpa.py:10-136``): softmax-temperature
+    maxpool backward + SiLU-derivative ReLU backward from bpa_layer='3_1'."""
+
+    def __init__(self, model_name="resnet50", bpa_layer="3_1", **kwargs):
+        if "resnet" not in model_name:
+            raise ValueError("BPA currently supports ResNet only")
+        kwargs.setdefault("attack", "BPA")
+        surgery = SurgeryConfig(
+            bpa_start=_block_index(bpa_layer), bpa_maxpool=True
+        )
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class GhostNetwork_MIFGSM(MIFGSM):
+    """Ghost networks (``ghost.py:31-53``, ``ghost_networks/resnet.py:110``):
+    every forward samples per-channel skip scalings U(1±range), making each
+    step attack a random network from the ghost family."""
+
+    rng_collections = ("ghost",)
+
+    def __init__(self, model_name="resnet50", ghost_keep_prob=0.994,
+                 ghost_random_range=0.16, **kwargs):
+        kwargs.setdefault("attack", "GhostNetwork_MIFGSM")
+        surgery = SurgeryConfig(ghost_range=float(ghost_random_range))
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class GhostNetwork_IFGSM(GhostNetwork_MIFGSM):
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("attack", "GhostNetwork_IFGSM")
+        kwargs["decay"] = 0.0
+        super().__init__(*args, **kwargs)
+
+
+class GhostNetwork_NIFGSM(GhostNetwork_MIFGSM):
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("attack", "GhostNetwork_NIFGSM")
+        super().__init__(*args, **kwargs)
+
+    def transform(self, x, state: AttackState, key):
+        return (x + self.alpha * self.decay * state.momentum)[None]

@@ -1,0 +1,186 @@
+"""ViT-surrogate attacks (reference: ``transferattack/model_related/
+{pna_patchout,sapr,tgr,fdap}.py``).
+
+Torch backward hooks on attention internals become ``ViTSurgery`` callbacks
+compiled into the forward graph (``models/vit.py``).  The reference computes
+its token-truncation indices from batch element 0 (it mandates batchsize=1);
+here the indices are computed per-sample, which reduces to the same thing at
+B=1 and generalizes it correctly for any batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..attack import AttackState
+from ..gradient.mifgsm import MIFGSM
+from ..models import make_model
+from ..models.vit import ViTSurgery
+
+
+def _zero_token_extremes(g, axis):
+    """Zero the argmax/argmin positions along ``axis`` per remaining index."""
+    mx = jnp.argmax(g, axis=axis, keepdims=True)
+    mn = jnp.argmin(g, axis=axis, keepdims=True)
+    idx = jnp.arange(g.shape[axis]).reshape(
+        [-1 if a == axis else 1 for a in range(g.ndim)]
+    )
+    keep = (idx != mx) & (idx != mn)
+    return g * keep.astype(g.dtype)
+
+
+def tgr_attn_bwd(g, meta, gamma=0.25):
+    """(B, h, N, N): scale by γ then zero the whole row+column of the per-head
+    max and min entries (``tgr.py:49-75``)."""
+    g = gamma * g
+    B, H, N, _ = g.shape
+    flat = g.reshape(B, H, N * N)
+    mx = jnp.argmax(flat, axis=-1)
+    mn = jnp.argmin(flat, axis=-1)
+    rows = jnp.arange(N)
+    def row_col_mask(pos):
+        r, c = pos // N, pos % N
+        rmask = (rows[None, None, :] != r[:, :, None])
+        cmask = (rows[None, None, :] != c[:, :, None])
+        return rmask[..., :, None] & cmask[..., None, :]
+
+    keep = row_col_mask(mx) & row_col_mask(mn)
+    return g * keep.astype(g.dtype)
+
+
+def tgr_token_bwd(g, meta, gamma):
+    """(B, N, C): scale by γ then zero per-channel extreme tokens
+    (``tgr.py:84-123`` v_tgr / mlp_tgr)."""
+    return _zero_token_extremes(gamma * g, axis=1)
+
+
+TGR_SURGERY = ViTSurgery(
+    attn_bwd=lambda g, m: tgr_attn_bwd(g, m, 0.25),
+    qkv_bwd=lambda g, m: tgr_token_bwd(g, m, 0.75),
+    mlp_in_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
+)
+
+
+class TGR(MIFGSM):
+    """Token gradient regularization (``tgr.py``, CVPR 2023)."""
+
+    def __init__(self, model_name="vit_base_patch16_224", **kwargs):
+        kwargs.setdefault("attack", "TGR")
+        model = make_model(model_name, surgery=TGR_SURGERY,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class PNA_PatchOut(MIFGSM):
+    """Pay-No-Attention + PatchOut (``pna_patchout.py``): attention-map
+    gradients dropped; each iteration attacks a random subset of patches;
+    L2 penalty on delta."""
+
+    def __init__(self, model_name="vit_base_patch16_224", crop_length=16,
+                 sample_num_patches=130, lamb=0.1, **kwargs):
+        kwargs.setdefault("attack", "PNA_PatchOut")
+        model = make_model(model_name, surgery=ViTSurgery(skip_attn_grad=True),
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+        self.crop_length = int(crop_length)
+        self.sample_num_patches = int(sample_num_patches)
+        self.lamb = float(lamb)
+
+    def _patchout_mask(self, x, key):
+        H, W = x.shape[1], x.shape[2]
+        cl = self.crop_length
+        gh, gw = H // cl, W // cl
+        n_patches = gh * gw
+        n_keep = min(self.sample_num_patches, n_patches)
+        scores = jax.random.uniform(key, (n_patches,))
+        thresh = jnp.sort(scores)[n_patches - n_keep]
+        keep = (scores >= thresh).astype(x.dtype).reshape(gh, gw)
+        mask = jnp.repeat(jnp.repeat(keep, cl, axis=0), cl, axis=1)
+        return mask[None, :, :, None]
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        k1, k2 = jax.random.split(key)
+        mask = self._patchout_mask(x, k1)
+
+        def loss_fn(delta):
+            logits = self.model.apply(variables, x + delta * mask)
+            ce = self.get_loss(logits[None], y)
+            # eps inside the sqrt: the L2 norm's gradient at delta=0 is NaN
+            l2 = jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+            return ce + self.lamb * l2
+
+        return jax.grad(loss_fn)(state.delta), {}
+
+
+def sapr_attn_pre(x, meta, rng, prob=0.15):
+    """SAPR (``sapr.py:38-53``): with prob, permute all non-cls tokens at the
+    attention input."""
+    B, N, C = x.shape
+    k1, k2 = jax.random.split(rng)
+    perm = jax.random.permutation(k1, N - 1) + 1
+    idx = jnp.concatenate([jnp.zeros((1,), perm.dtype), perm])
+    permuted = x[:, idx]
+    apply = jax.random.bernoulli(k2, prob)
+    return jnp.where(apply, permuted, x)
+
+
+class SAPR(MIFGSM):
+    """Self-attention patch reweighting via random token permutation."""
+
+    rng_collections = ("surgery",)
+
+    def __init__(self, model_name="vit_base_patch16_224", prob=0.15, **kwargs):
+        kwargs.setdefault("attack", "SAPR")
+        surgery = ViTSurgery(
+            attn_pre=lambda x, m, r: sapr_attn_pre(x, m, r, prob)
+        )
+        model = make_model(model_name, surgery=surgery,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+
+
+class FDAP(MIFGSM):
+    """Feature-diversity collapse (``fdap.py``): push mid-block token
+    features toward their mean — minimize Σ (log ||f − f̄||)^β over blocks
+    5-9; alpha=3/255, epoch=30."""
+
+    def __init__(self, model_name="vit_base_patch16_224", epoch=30, beta=2.0,
+                 gamma=0.1, blocks=(5, 6, 7, 8, 9), **kwargs):
+        kwargs.setdefault("attack", "FDAP")
+        kwargs.setdefault("alpha", 3 / 255)
+        model = make_model(model_name,
+                           pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, epoch=epoch, **kwargs)
+        self.beta = float(beta)
+        self.gamma = float(gamma)
+        self.blocks = tuple(blocks)
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        def loss_fn(delta):
+            logits, feats = self.model.apply_with_feats(
+                variables, x + delta, "blocks_"
+            )
+            loss_div = 0.0
+            from ..models import find_feature
+
+            for b in self.blocks:
+                f = find_feature(feats, f"blocks_{b}")
+                if f is None:
+                    continue
+                if isinstance(f, dict):
+                    f = find_feature({"d": f}, "block_out")
+                mean = f.mean(axis=1, keepdims=True)
+                r = jnp.linalg.norm(
+                    (f - mean).reshape(f.shape[0], -1), axis=1
+                ) + 1e-8
+                loss_div = loss_div + jnp.mean(jnp.log(r) ** self.beta)
+            ce = self.get_loss(logits[None], y)
+            return ce - self.gamma * loss_div
+
+        return jax.grad(loss_fn)(state.delta), {}

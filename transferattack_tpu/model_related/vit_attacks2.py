@@ -1,0 +1,343 @@
+"""Advanced ViT-surrogate attacks (reference: ``transferattack/model_related/
+{vdc,fpr,att,setr}.py``).
+
+These torch implementations mutate hook state across two backward passes
+(VDC), keep cross-iteration accumulators in hooks (FPR), or calibrate
+gradient-penalty factors from recorded variances (ATT).  Translating torch
+backward-hook mutation to pure JAX uses two identities:
+
+* additive cotangent injection at point p equals adding ``⟨add, p⟩`` to the
+  loss (VDC's virtual dense connections);
+* scaling the cotangent at p by a traced factor s equals the forward rewrite
+  ``s·p + stop_grad((1−s)·p)`` (ATT's gradient-penalty factors).
+
+Cotangent *recording* is an offset-gradient probe (grad w.r.t. a zero offset
+added at the point) — never a Python-side capture, which would leak tracers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..attack import AttackState
+from ..gradient.mifgsm import MIFGSM
+from ..models import Surrogate, make_model
+from ..models.vit import ViTSurgery
+
+
+def _rebuild_vit(surrogate: Surrogate, surgery: ViTSurgery):
+    """Clone the surrogate's module with a new surgery config (same params)."""
+    backbone = surrogate.module.backbone.clone(surgery=surgery)
+    return surrogate.module.clone(backbone=backbone)
+
+
+def _probe_shapes(model, variables, x, depth):
+    """Static shapes of per-block attention maps and token tensors, from the
+    backbone's hyperparameters (the wrapped preprocess resizes to the
+    registry size, so token count follows the model's own input size)."""
+    bb = model.module.backbone
+    size = model.input_size
+    n_tokens = (size // bb.patch_size) ** 2 + 1
+    B = x.shape[0]
+    attn_shape = (B, bb.num_heads, n_tokens, n_tokens)
+    tok_shape = (B, n_tokens, bb.dim)
+    return attn_shape, tok_shape
+
+
+class VDC(MIFGSM):
+    """Virtual dense connections (``vdc.py:10-519``): pass 1 records the
+    attn/MLP cotangents of every block; pass 2 injects depth-accumulated,
+    geometrically-damped copies into the backward as virtual skips."""
+
+    def __init__(self, model_name="vit_base_patch16_224", lamb=0.1, **kwargs):
+        kwargs.setdefault("attack", "VDC")
+        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+        self.lamb = float(lamb)
+        self.depth = model.module.backbone.depth
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        D = self.depth
+        point = x + state.delta
+        attn_shape, tok_shape = _probe_shapes(self.model, variables, x, D)
+
+        # ---- pass 1: cotangent probes via zero offsets ----
+        def probed_loss(offsets, p):
+            surgery = ViTSurgery(
+                attn_post=lambda a, m: a + offsets["attn"][m["block"]],
+                mlp_in_post=lambda h, m: h + offsets["mlp"][m["block"]],
+            )
+            module = _rebuild_vit(self.model, surgery)
+            logits = module.apply(variables, p)
+            return self.get_loss(logits[None], y)
+
+        zero_off = {
+            "attn": jnp.zeros((D,) + attn_shape, x.dtype),
+            "mlp": jnp.zeros((D,) + tok_shape, x.dtype),
+        }
+        cotangents = jax.grad(probed_loss)(zero_off, point)
+
+        # depth-accumulation (``vdc.py:53-75``): walking backward (deep →
+        # shallow), block b receives the damped records of deeper blocks
+        def accumulate(recs):
+            adds = []
+            acc = jnp.zeros_like(recs[0])
+            for b in range(D - 1, -1, -1):
+                g = jax.lax.stop_gradient(recs[b]) * 0.1 * (0.5 ** (D - 1 - b))
+                adds.append(acc)
+                acc = acc + g
+            return jnp.stack(adds[::-1])  # index by block again
+
+        attn_add = accumulate(cotangents["attn"])
+        mlp_add = accumulate(cotangents["mlp"])
+
+        # ---- pass 2: additive injection via inner-product loss terms ----
+        def loss_fn(delta):
+            side = []
+
+            def attn_post(a, m):
+                side.append(jnp.sum(attn_add[m["block"]] * a))
+                return a
+
+            def mlp_in_post(h, m):
+                side.append(jnp.sum(mlp_add[m["block"]] * h))
+                return h
+
+            module = _rebuild_vit(
+                self.model, ViTSurgery(attn_post=attn_post, mlp_in_post=mlp_in_post)
+            )
+            logits = module.apply(variables, x + delta)
+            return self.get_loss(logits[None], y) + sum(side)
+
+        return jax.grad(loss_fn)(state.delta), {}
+
+
+class FPR(MIFGSM):
+    """Feature-map perturbation + refinement (``fpr.py:25-115``): noisy
+    re-softmaxed attention maps at blocks {0,1,4,9,11}; attention/MLP outputs
+    scaled ×0.8 and accumulated across iterations with decay 0.3 — the
+    accumulators ride the scan carry and are refreshed by a capture pass."""
+
+    noisy_blocks = (0, 1, 4, 9, 11)
+
+    def __init__(self, model_name="vit_base_patch16_224", attn_range=25.0,
+                 scale=0.8, mom_decay=0.3, **kwargs):
+        kwargs.setdefault("attack", "fpr")
+        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+        self.attn_range = float(attn_range)
+        self.scale = float(scale)
+        self.mom_decay = float(mom_decay)
+        self.depth = model.module.backbone.depth
+
+    def init_extra(self, x, y):
+        _, tok_shape = _probe_shapes(
+            self.model, self.model.variables, x, self.depth
+        )
+        zeros = jnp.zeros((self.depth,) + tok_shape, x.dtype)
+        return {"attn_acc": zeros, "mlp_acc": zeros}
+
+    def _hooked_module(self, attn_acc, mlp_acc, key):
+        def attn_post(attn, m):
+            b = m["block"]
+            if b not in self.noisy_blocks:
+                return attn
+            kb = jax.random.fold_in(key, b)
+            N = attn.shape[-1]
+            M = jax.random.uniform(
+                kb, (attn.shape[1], N, N), attn.dtype,
+                minval=1 - self.attn_range, maxval=1 + self.attn_range,
+            )
+            return jax.nn.softmax(attn * M[None], axis=-1)
+
+        def attn_out_post(out, m):
+            return self.mom_decay * attn_acc[m["block"]] + out * self.scale
+
+        def mlp_out_post(out, m):
+            return self.mom_decay * mlp_acc[m["block"]] + out * self.scale
+
+        return _rebuild_vit(
+            self.model,
+            ViTSurgery(attn_post=attn_post, attn_out_post=attn_out_post,
+                       mlp_out_post=mlp_out_post),
+        )
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        attn_acc = jax.lax.stop_gradient(state.extra["attn_acc"])
+        mlp_acc = jax.lax.stop_gradient(state.extra["mlp_acc"])
+        module = self._hooked_module(attn_acc, mlp_acc, key)
+
+        def loss_fn(delta):
+            logits = module.apply(variables, x + delta)
+            return self.get_loss(logits[None], y)
+
+        grad = jax.grad(loss_fn)(state.delta)
+
+        # capture pass: the hooked attention/MLP outputs ARE the new
+        # accumulators (module outputs captured via intermediates)
+        _, feats = module.apply(
+            variables, x + state.delta,
+            capture_intermediates=lambda mdl, _m: mdl.name in ("attn", "mlp"),
+            mutable=["intermediates"],
+        )
+        from ..models import find_feature
+
+        new_attn, new_mlp = [], []
+        inter = feats["intermediates"]
+        for b in range(self.depth):
+            blk = find_feature(inter, f"blocks_{b}")
+            new_attn.append(jax.lax.stop_gradient(find_feature({"d": blk}, "attn")))
+            new_mlp.append(jax.lax.stop_gradient(find_feature({"d": blk}, "mlp")))
+        return grad, {
+            "attn_acc": jnp.stack(new_attn),
+            "mlp_acc": jnp.stack(new_mlp),
+        }
+
+
+class ATT(MIFGSM):
+    """Adaptive token tuning (``att.py:41-296``): per-iteration cotangent
+    probes give per-path gradient variances; the attack pass scales each
+    path's backward by GPF = clamp(γ + λ(1 − √(var/var_ref)), 0, 1) using the
+    forward rewrite ``s·p + stop_grad((1−s)·p)``; PatchOut input sampling."""
+
+    def __init__(self, model_name="vit_base_patch16_224", lam=0.01, gamma=0.5,
+                 crop_length=16, sample_num_patches=130, **kwargs):
+        kwargs.setdefault("attack", "ATT")
+        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+        self.lam = float(lam)
+        self.gamma = float(gamma)
+        self.crop_length = int(crop_length)
+        self.sample_num_patches = int(sample_num_patches)
+        self.depth = model.module.backbone.depth
+
+    def init_extra(self, x, y):
+        D = self.depth
+        return {
+            "var_ref": {
+                "attn": jnp.full((D,), -1.0, x.dtype),
+                "qkv": jnp.full((D,), -1.0, x.dtype),
+                "mlp": jnp.full((D,), -1.0, x.dtype),
+            }
+        }
+
+    def _patchout_mask(self, x, key):
+        H, W = x.shape[1], x.shape[2]
+        cl = min(self.crop_length, H)
+        gh, gw = H // cl, W // cl
+        n = gh * gw
+        keep_n = min(self.sample_num_patches, n)
+        scores = jax.random.uniform(key, (n,))
+        thresh = jnp.sort(scores)[n - keep_n]
+        keep = (scores >= thresh).astype(x.dtype).reshape(gh, gw)
+        return jnp.repeat(jnp.repeat(keep, cl, axis=0), cl, axis=1)[None, :, :, None]
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        D = self.depth
+        point = x + state.delta
+        attn_shape, tok_shape = _probe_shapes(self.model, variables, x, D)
+        qkv_shape = tok_shape[:-1] + (tok_shape[-1] * 3,)
+
+        # probe pass: variances of the unscaled cotangents
+        def probed_loss(offsets, p):
+            surgery = ViTSurgery(
+                attn_post=lambda a, m: a + offsets["attn"][m["block"]],
+                qkv_post=lambda q, m: q + offsets["qkv"][m["block"]],
+                mlp_in_post=lambda h, m: h + offsets["mlp"][m["block"]],
+            )
+            module = _rebuild_vit(self.model, surgery)
+            logits = module.apply(variables, p)
+            return self.get_loss(logits[None], y)
+
+        zero_off = {
+            "attn": jnp.zeros((D,) + attn_shape, x.dtype),
+            "qkv": jnp.zeros((D,) + qkv_shape, x.dtype),
+            "mlp": jnp.zeros((D,) + tok_shape, x.dtype),
+        }
+        cots = jax.grad(probed_loss)(zero_off, point)
+        cur_var = {
+            k: jnp.stack([jnp.var(cots[k][b]) for b in range(D)])
+            for k in ("attn", "qkv", "mlp")
+        }
+        # first iteration establishes the reference variances
+        var_ref = {
+            k: jnp.where(state.extra["var_ref"][k] < 0, cur_var[k],
+                         state.extra["var_ref"][k])
+            for k in cur_var
+        }
+        gpf = {
+            k: jnp.clip(
+                self.gamma
+                + self.lam * (1 - jnp.sqrt(cur_var[k] / (var_ref[k] + 1e-12))),
+                0.0, 1.0,
+            )
+            for k in cur_var
+        }
+        gpf = jax.lax.stop_gradient(gpf)
+
+        def scale_fwd(p, s):
+            return s * p + jax.lax.stop_gradient((1 - s) * p)
+
+        k1, _ = jax.random.split(key)
+        mask = self._patchout_mask(x, k1)
+
+        def loss_fn(delta):
+            surgery = ViTSurgery(
+                attn_post=lambda a, m: scale_fwd(a, gpf["attn"][m["block"]]),
+                qkv_post=lambda q, m: scale_fwd(q, gpf["qkv"][m["block"]]),
+                mlp_in_post=lambda h, m: scale_fwd(h, gpf["mlp"][m["block"]]),
+            )
+            module = _rebuild_vit(self.model, surgery)
+            logits = module.apply(variables, x + delta * mask)
+            return self.get_loss(logits[None], y)
+
+        grad = jax.grad(loss_fn)(state.delta)
+        return grad, {"var_ref": var_ref}
+
+
+class SETR(MIFGSM):
+    """Self-ensemble + token refinement (``setr.py:7-111`` +
+    ``setr_networks/``): classify every block's cls token through the shared
+    final norm+head and average the losses — the vendored 1,933-LoC
+    per-architecture forks reduce to block_out intermediates."""
+
+    def __init__(self, model_name="vit_base_patch16_224", **kwargs):
+        kwargs.setdefault("attack", "SETR")
+        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
+                           input_size=kwargs.pop("input_size", None))
+        super().__init__(model, **kwargs)
+        self.depth = model.module.backbone.depth
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        from ..attack import softmax_cross_entropy
+        from ..models import find_feature
+
+        def loss_fn(delta):
+            logits, feats = self.model.apply_with_feats(
+                variables, x + delta, "__nocapture__"
+            )
+            total = softmax_cross_entropy(logits, y).mean()
+            bparams = variables["params"]["backbone"]
+            count = 1
+            for b in range(self.depth):
+                tok = find_feature(feats, f"blocks_{b}")
+                if isinstance(tok, dict):
+                    tok = find_feature({"d": tok}, "block_out")
+                if tok is None:
+                    continue
+                cls = tok[:, 0]
+                nvar = bparams["norm"]
+                mean = cls.mean(-1, keepdims=True)
+                var = cls.var(-1, keepdims=True)
+                cls = (cls - mean) / jnp.sqrt(var + 1e-6)
+                cls = cls * nvar["scale"] + nvar["bias"]
+                blogits = cls @ bparams["head"]["kernel"] + bparams["head"]["bias"]
+                total = total + softmax_cross_entropy(blogits, y).mean()
+                count += 1
+            ce = total / count
+            return -ce if self.targeted else ce
+
+        return jax.grad(loss_fn)(state.delta), {}

@@ -60,6 +60,64 @@ def linbp_relu(x):
 linbp_relu.defvjp(lambda x: (jax.nn.relu(x), None), lambda _, g: (g,))
 
 
+@jax.custom_vjp
+def relu_silu(x):
+    """ReLU forward, SiLU-derivative backward (BPA, ``model_related/bpa.py:109-136``)."""
+    return jax.nn.relu(x)
+
+
+def _rs_fwd(x):
+    return jax.nn.relu(x), x
+
+
+def _rs_bwd(x, g):
+    s = jax.nn.sigmoid(x)
+    return (g * (x * s * (1 - s) + s),)
+
+
+relu_silu.defvjp(_rs_fwd, _rs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def softmax_maxpool(x, temperature):
+    """3×3/2 'same' max pool whose backward distributes the gradient by a
+    softmax over each window (BPA, ``model_related/bpa.py:67-106``).
+    NHWC input."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    return jax.lax.reduce_window(
+        xp, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _extract_patches(x):
+    """(B, Ho, Wo, 9, C) 3×3/2 window patches of an NHWC array."""
+    B, H, W, C = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, Ho, Wo, C*9) with channel-major grouping
+    Ho, Wo = patches.shape[1], patches.shape[2]
+    return patches.reshape(B, Ho, Wo, C, 9).transpose(0, 1, 2, 4, 3)
+
+
+def _smp_fwd(x, temperature):
+    return softmax_maxpool(x, temperature), x
+
+
+def _smp_bwd(temperature, x, g):
+    def patches_sum(inp):
+        return _extract_patches(inp)
+
+    patches, unfold_vjp = jax.vjp(patches_sum, x)
+    weights = jax.nn.softmax(temperature * patches, axis=3)
+    grad_patches = weights * g[:, :, :, None, :]
+    (grad_x,) = unfold_vjp(grad_patches)
+    return (grad_x,)
+
+
+softmax_maxpool.defvjp(_smp_fwd, _smp_bwd)
+
+
 def conv(features, kernel, stride=1, groups=1, name=None):
     pad = kernel // 2
     return nn.Conv(
@@ -84,23 +142,46 @@ class SurgeryConfig:
         self,
         gamma: float = 1.0,
         softplus_beta: Optional[float] = None,
-        residual_scale: float = 1.0,
+        residual_scale=1.0,
         skip_drop: float = 0.0,
         linbp_start: int = 10**9,
+        ghost_range: float = 0.0,
+        bpa_start: int = 10**9,
+        bpa_maxpool: bool = False,
+        bpa_temperature: float = 10.0,
     ):
         self.gamma = gamma
         self.softplus_beta = softplus_beta
+        # scalar, or a 4-tuple of per-stage scales (IAA, ``iaa.py:34-38``)
         self.residual_scale = residual_scale
         self.skip_drop = skip_drop
         self.linbp_start = linbp_start
+        # ghost networks: identity scaled per-channel by U(1±range)
+        # (``ghost_networks/resnet.py:110``)
+        self.ghost_range = ghost_range
+        # BPA: SiLU-derivative ReLU backward from this block index on, and a
+        # softmax-backward stem maxpool (``bpa.py:40-50``)
+        self.bpa_start = bpa_start
+        self.bpa_maxpool = bpa_maxpool
+        self.bpa_temperature = bpa_temperature
+
+    def stage_scale(self, stage_index: int) -> float:
+        if isinstance(self.residual_scale, (tuple, list)):
+            return self.residual_scale[stage_index]
+        return self.residual_scale
 
     def key(self):
+        rs = self.residual_scale
         return (
             self.gamma,
             self.softplus_beta,
-            self.residual_scale,
+            tuple(rs) if isinstance(rs, (tuple, list)) else rs,
             self.skip_drop,
             self.linbp_start,
+            self.ghost_range,
+            self.bpa_start,
+            self.bpa_maxpool,
+            self.bpa_temperature,
         )
 
     def __eq__(self, other):
@@ -119,6 +200,7 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     surgery: SurgeryConfig = DEFAULT_SURGERY
     block_index: int = 0
+    stage_index: int = 0
     expansion: int = 1
 
     @nn.compact
@@ -133,7 +215,7 @@ class BasicBlock(nn.Module):
         if self.downsample:
             identity = conv(self.planes, 1, self.stride, name="downsample_conv")(x)
             identity = bn("downsample_bn")(identity)
-        out = _merge(out, identity, self, s)
+        out = _merge(out, identity, self, s, self.stage_index)
         return _act(out, s, self.block_index)
 
 
@@ -145,6 +227,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     surgery: SurgeryConfig = DEFAULT_SURGERY
     block_index: int = 0
+    stage_index: int = 0
     expansion: int = 4
 
     @nn.compact
@@ -163,13 +246,15 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
             identity = bn("downsample_bn")(identity)
-        out = _merge(out, identity, self, s)
+        out = _merge(out, identity, self, s, self.stage_index)
         return _act(out, s, self.block_index)
 
 
 def _act(x, s: SurgeryConfig, block_index: int):
     if block_index >= s.linbp_start:
         return linbp_relu(x)
+    if block_index >= s.bpa_start:
+        return relu_silu(x)
     if s.softplus_beta is not None:
         return jax.nn.softplus(s.softplus_beta * x) / s.softplus_beta
     if s.gamma != 1.0:
@@ -177,14 +262,22 @@ def _act(x, s: SurgeryConfig, block_index: int):
     return jax.nn.relu(x)
 
 
-def _merge(out, identity, mdl: nn.Module, s: SurgeryConfig):
-    """Residual add, with ghost skip-dropout / IAA residual scaling."""
+def _merge(out, identity, mdl: nn.Module, s: SurgeryConfig, stage_index: int = 0):
+    """Residual add, with ghost skip-scaling / IAA residual downweighting."""
     if s.skip_drop > 0.0:
         rng = mdl.make_rng("ghost")
         keep = 1.0 - s.skip_drop
         mask = jax.random.bernoulli(rng, keep, out.shape[:1] + (1,) * (out.ndim - 1))
         out = out * mask.astype(out.dtype) / keep
-    return out * s.residual_scale + identity
+    if s.ghost_range > 0.0:
+        # per-channel uniform scaling of the skip (``ghost_networks/resnet.py:110``)
+        rng = mdl.make_rng("ghost")
+        scale = jax.random.uniform(
+            rng, (1,) * (out.ndim - 1) + (out.shape[-1],), out.dtype,
+            minval=1.0 - s.ghost_range, maxval=1.0 + s.ghost_range,
+        )
+        identity = identity * scale
+    return out * s.stage_scale(stage_index) + identity
 
 
 class ResNet(nn.Module):
@@ -211,10 +304,15 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             name="conv1",
         )(x)
+        if "conv1" in taps:
+            x = taps["conv1"](x)  # FAUG noise injection point (``faug.py``)
         x = bn("bn1")(x)
         x = _act(x, s, -1)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if s.bpa_maxpool:
+            x = softmax_maxpool(x, s.bpa_temperature)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
         block_idx = 0
         for i, n_blocks in enumerate(self.stage_sizes):
             planes = 64 * (2 ** i)
@@ -228,6 +326,7 @@ class ResNet(nn.Module):
                     downsample=down,
                     surgery=s,
                     block_index=block_idx,
+                    stage_index=i,
                     name=f"layer{i + 1}_{j}",
                 )
                 if self.block_cls is Bottleneck:

@@ -36,12 +36,23 @@ class ViTSurgery:
     attn_bwd: Optional[Callable] = None   # grad of softmax attention map
     qkv_bwd: Optional[Callable] = None    # grad of the fused qkv projection
     mlp_bwd: Optional[Callable] = None    # grad of mlp hidden activations
+    mlp_in_bwd: Optional[Callable] = None  # grad at the mlp block input (TGR)
     attn_post: Optional[Callable] = None  # forward-mode attention map edit
+    attn_pre: Optional[Callable] = None   # forward edit of attention input
+                                          # tokens; fn(x, meta, rng) (SAPR)
+    attn_out_post: Optional[Callable] = None  # forward edit of attention
+                                              # module output (FPR momentum)
+    mlp_out_post: Optional[Callable] = None   # forward edit of mlp output
+    mlp_in_post: Optional[Callable] = None    # forward edit at the mlp input
+    qkv_post: Optional[Callable] = None       # forward edit of the fused qkv
     skip_attn_grad: bool = False          # PNA: drop grads through attn map
 
     def __hash__(self):
         return hash((id(self.attn_bwd), id(self.qkv_bwd), id(self.mlp_bwd),
-                     id(self.attn_post), self.skip_attn_grad))
+                     id(self.mlp_in_bwd), id(self.attn_post), id(self.attn_pre),
+                     id(self.attn_out_post), id(self.mlp_out_post),
+                     id(self.mlp_in_post), id(self.qkv_post),
+                     self.skip_attn_grad))
 
 
 DEFAULT_VIT_SURGERY = ViTSurgery()
@@ -80,7 +91,11 @@ class Attention(nn.Module):
         s = self.surgery
         meta = {"block": self.block_index, "num_heads": h, "tokens": N}
 
+        if s.attn_pre is not None:
+            x = s.attn_pre(x, meta, self.make_rng("surgery"))
         qkv = nn.Dense(D * 3, name="qkv")(x)
+        if s.qkv_post is not None:
+            qkv = s.qkv_post(qkv, meta)
         qkv = apply_bwd_hook(qkv, s.qkv_bwd, meta)
         qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -98,7 +113,10 @@ class Attention(nn.Module):
 
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
         self.sow("intermediates", "attn", attn)
-        return nn.Dense(D, name="proj")(out)
+        out = nn.Dense(D, name="proj")(out)
+        if s.attn_out_post is not None:
+            out = s.attn_out_post(out, meta)
+        return out
 
 
 class Mlp(nn.Module):
@@ -113,7 +131,10 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = apply_bwd_hook(x, self.surgery.mlp_bwd, meta)
-        return nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, name="fc2")(x)
+        if self.surgery.mlp_out_post is not None:
+            x = self.surgery.mlp_out_post(x, meta)
+        return x
 
 
 class Block(nn.Module):
@@ -128,10 +149,17 @@ class Block(nn.Module):
         x = x + Attention(
             self.dim, self.num_heads, self.surgery, self.block_index, name="attn"
         )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        if self.surgery.mlp_in_post is not None:
+            h = self.surgery.mlp_in_post(h, {"block": self.block_index})
+        # TGR's mlp hook fires on the gradient at the mlp-branch input
+        h = apply_bwd_hook(
+            h, self.surgery.mlp_in_bwd, {"block": self.block_index}
+        )
         x = x + Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.surgery,
             self.block_index, name="mlp",
-        )(nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
+        )(h)
         self.sow("intermediates", "block_out", x)
         return x
 
