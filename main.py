@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -53,13 +54,22 @@ def get_parser():
     p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
     p.add_argument("--eval_models", default="", type=str,
                    help="comma list overriding the 8 paper eval models")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 surrogate compute (fp32 updates)")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="resume: skip batches whose output PNGs already exist")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="write a jax.profiler trace of the first batch here")
     return p.parse_args()
 
 
 def run_attack(args) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     model = args.model.split(",") if (args.ensemble or "," in args.model) else args.model
-    attacker = ta.load_attack_class(args.attack)(model_name=model, targeted=args.targeted)
+    kwargs = {"compute_dtype": "bfloat16"} if args.bf16 else {}
+    attacker = ta.load_attack_class(args.attack)(
+        model_name=model, targeted=args.targeted, **kwargs
+    )
     if attacker.requires_batchsize is not None:
         args.batchsize = attacker.requires_batchsize
     runner = (
@@ -70,7 +80,19 @@ def run_attack(args) -> None:
     dataset = AdvDataset(
         input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
     )
+    profiled = False
+    t_start, n_done = time.perf_counter(), 0
     for images, labels, names in dataset.as_batches(args.batchsize):
+        if args.skip_existing and all(
+            os.path.exists(os.path.join(args.output_dir, n)) for n in names
+        ):
+            continue
+        ctx = None
+        if args.profile_dir and not profiled:
+            import jax
+
+            ctx = jax.profiler.trace(args.profile_dir)
+            ctx.__enter__()
         if args.attack in GENERATION_TARGETED:
             for idx, target_class in enumerate(generation_target_classes):
                 delta = np.asarray(runner(images, labels, idx=idx))
@@ -79,6 +101,14 @@ def run_attack(args) -> None:
         else:
             delta = np.asarray(runner(images, labels))
             save_images(args.output_dir, images + delta, names)
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+            profiled = True
+        n_done += len(names)
+    dt = time.perf_counter() - t_start
+    if n_done:
+        print(f"[{args.attack}] {n_done} images in {dt:.1f}s "
+              f"({n_done / dt:.1f} img/s end-to-end incl. IO+compile)")
 
 
 def evaluate_model(surrogate, dataset, batchsize: int, is_targeted: bool) -> float:
@@ -104,6 +134,7 @@ def run_eval(args) -> None:
     else:
         names = cnn_model_paper + vit_model_paper
     res = "|"
+    records = []
     for name in names:
         surrogate = make_model(name)
         if args.attack in ("ttp", "m3d", "rfcoa"):
@@ -124,9 +155,19 @@ def run_eval(args) -> None:
             asr = evaluate_model(surrogate, ds, args.batchsize, args.targeted)
         print(f"{name}: {asr:.1f}")
         res += f" {asr:.1f} |"
+        records.append({"output_dir": args.output_dir, "attack": args.attack,
+                        "eval_model": name, "asr": round(asr, 2),
+                        "targeted": bool(args.targeted)})
     print(res)
+    # reference-compatible markdown row (``main.py:75-77``) + structured
+    # JSON records for programmatic consumers (SURVEY.md §5 observability)
     with open("results_eval.txt", "a") as f:
         f.write(args.output_dir + res + "\n")
+    import json
+
+    with open("results_eval.jsonl", "a") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
 
 
 def main():

@@ -79,6 +79,17 @@ def test_fap_attack_runs(toy_batch):
     assert np.any(delta != 0)
 
 
-def test_diffattack_raises_with_guidance():
-    with pytest.raises(NotImplementedError):
-        ta.load_attack_class("diffattack")()
+def test_diffattack_latent_optimization_runs():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    y = np.asarray([3], np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("diffattack")(
+            model_name="toy_cnn", diffusion_steps=4, start_step=3, iterations=2,
+        )
+        delta = np.asarray(atk(x, y))
+    # unrestricted attack: only validity of the composite image is required
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+    assert np.any(delta != 0)

@@ -84,3 +84,60 @@ def test_vit_surgery_hooks_change_gradients():
     g1, g2 = np.asarray(g(m_plain)), np.asarray(g(m_pna))
     assert not np.allclose(g1, g2)
     assert np.isfinite(g2).all()
+
+
+def test_converter_full_resnet18_roundtrip():
+    """Invert our ResNet-18 variable tree into torchvision-style keys, run
+    the converter, and require a complete, shape-exact reconcile."""
+    import re
+
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    m = make_model("resnet18", pretrained=False, input_size=32)
+
+    state = {}
+
+    def inv_path(parts):
+        # backbone/layer1_0/conv1 → layer1.0.conv1 ; downsample_conv → downsample.0
+        out = []
+        for p in parts:
+            if p == "backbone":
+                continue
+            p = p.replace("downsample_conv", "downsample.0")
+            p = p.replace("downsample_bn", "downsample.1")
+            p = re.sub(r"^(layer\d+)_(\d+)$", r"\1.\2", p)
+            out.append(p)
+        return ".".join(out)
+
+    def walk(tree, parts, coll):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, parts + [k], coll)
+            else:
+                mod = inv_path(parts)
+                import numpy as np
+
+                arr = np.asarray(v)
+                if k == "kernel" and arr.ndim == 4:
+                    state[f"{mod}.weight"] = arr.transpose(3, 2, 0, 1)
+                elif k == "kernel":
+                    state[f"{mod}.weight"] = arr.T
+                elif k == "scale":
+                    state[f"{mod}.weight"] = arr
+                elif k == "bias":
+                    state[f"{mod}.bias"] = arr
+                elif k == "mean":
+                    state[f"{mod}.running_mean"] = arr
+                elif k == "var":
+                    state[f"{mod}.running_var"] = arr
+
+    walk(m.variables["params"], [], "params")
+    walk(m.variables["batch_stats"], [], "batch_stats")
+
+    converted = torch_state_dict_to_flax(state)
+    merged, report = reconcile_with_module(converted, m.variables)
+    assert not report["missing"], report["missing"][:5]
+    assert not report["mismatched"], report["mismatched"][:5]

@@ -1,0 +1,62 @@
+"""Mesh sharding tests on the 8-device virtual CPU mesh (SURVEY.md §2.10)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import transferattack_tpu as ta
+from transferattack_tpu.parallel import (
+    ShardedAttackRunner,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+)
+
+
+def test_pad_to_multiple():
+    x = np.arange(10).reshape(5, 2)
+    padded, n = pad_to_multiple(x, 4)
+    assert padded.shape == (8, 2) and n == 5
+    np.testing.assert_array_equal(padded[5], padded[4])
+
+
+def test_sharded_runner_matches_unsharded(toy_batch):
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn")
+    plain = np.asarray(atk(x, y))
+    atk2 = ta.load_attack_class("mifgsm")(model_name="toy_cnn")
+    atk2.model = atk.model
+    runner = ShardedAttackRunner(atk2, make_mesh())
+    sharded = runner(x, y)
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+
+def test_sharded_runner_pads_odd_batches(toy_batch):
+    x, y = toy_batch
+    atk = ta.load_attack_class("ifgsm")(model_name="toy_cnn")
+    runner = ShardedAttackRunner(atk, make_mesh())
+    out = runner(x[:3], y[:3])
+    assert out.shape == (3,) + x.shape[1:]
+
+
+def test_copies_axis_sharding_2d_mesh(toy_batch):
+    """SIM's flattened copies axis pinned over a ('data','aug') mesh must
+    produce the same delta as the unsharded run."""
+    x, y = toy_batch
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "aug"))
+    sim = ta.load_attack_class("sim")(model_name="toy_cnn", num_scale=4)
+    ref = np.asarray(sim(x, y))
+
+    sim2 = ta.load_attack_class("sim")(model_name="toy_cnn", num_scale=4)
+    sim2.model = sim.model
+    sim2.copies_sharding = NamedSharding(mesh, P(("aug", "data")))
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    run = jax.jit(sim2.run, in_shardings=(repl, data, data, repl),
+                  out_shardings=data)
+    out = np.asarray(
+        run(sim.model.variables, jnp.asarray(x), jnp.asarray(y),
+            jax.random.PRNGKey(sim.seed))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)

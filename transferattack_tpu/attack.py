@@ -132,6 +132,10 @@ class Attack:
     # RNG collections the surrogate forward consumes (e.g. 'ghost' for ghost
     # networks' per-forward random skip scaling, 'patch' for ViT PatchOut)
     rng_collections: Sequence[str] = ()
+    # optional jax.sharding.NamedSharding pinning the flattened
+    # (copies·batch) axis of augmented model inputs — lets the augmentation-
+    # copy axis ride its own mesh dimension (SURVEY.md §2.10 axis 2)
+    copies_sharding = None
 
     def __init__(
         self,
@@ -226,6 +230,8 @@ class Attack:
         """Forward pass. ``xs``: (n, B, H, W, C) → logits (n, B, num_classes)."""
         n, b = xs.shape[0], xs.shape[1]
         flat = xs.reshape((n * b,) + xs.shape[2:])
+        if self.copies_sharding is not None:
+            flat = jax.lax.with_sharding_constraint(flat, self.copies_sharding)
         if self.compute_dtype is not None:
             flat = flat.astype(self.compute_dtype)
         kwargs = {"rngs": rngs} if rngs is not None else {}

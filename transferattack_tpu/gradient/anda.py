@@ -56,6 +56,9 @@ class ANDA(Attack):
             extra["dev_rows"] = jnp.zeros(
                 (self.epoch * self.n_ens, x.shape[0], D), x.dtype
             )
+            # the reference samples from the pre-final-update adversary
+            # (``anda.py:131-137``)
+            extra["prev_delta"] = jnp.zeros_like(x)
         return extra
 
     def ens_grads(self, variables, xt, y, key):
@@ -90,6 +93,7 @@ class ANDA(Attack):
                 (state.step * self.n_ens, 0, 0),
             )
             extra["dev_rows"] = rows
+            extra["prev_delta"] = state.delta
 
         xt = xt + self.alpha * jnp.sign(mean)
         xt = jnp.clip(xt, img_min, img_max)
@@ -109,7 +113,7 @@ class ANDA(Attack):
         z = jax.random.normal(state.key, (K,), x.dtype)
         cov_sample = jnp.einsum("k,kbd->bd", z, rows) / np.sqrt(K - 1)
         noise = state.extra["mean"] + cov_sample.reshape(x.shape)
-        xt = x + state.delta
+        xt = x + state.extra["prev_delta"]
         sample_xt = jnp.clip(xt + self.alpha * jnp.sign(noise), img_min, img_max)
         sample_xt = jnp.clip(sample_xt, x - self.eps, x + self.eps)
         return sample_xt - x

@@ -56,6 +56,32 @@ def _merge_indices(key: str) -> str:
     return "/".join(merged)
 
 
+# post-merge path rewrites aligning torch/timm module trees with the Flax
+# module names in ``models/`` (order matters; first match applies per rule)
+_REWRITES = [
+    # torchvision ResNet downsample Sequential → named conv/bn pair
+    (re.compile(r"downsample_0"), "downsample_conv"),
+    (re.compile(r"downsample_1"), "downsample_bn"),
+    # timm ViT/PiT patch embed conv lives directly on the module here
+    (re.compile(r"patch_embed/proj"), "patch_embed"),
+    # Swin/PiT stage-nested blocks are flat names here
+    (re.compile(r"(layers_\d+)/blocks_(\d+)"), r"\1_blocks_\2"),
+    (re.compile(r"(layers_\d+)/downsample"), r"\1_downsample"),
+    (re.compile(r"(transformers_\d+)/blocks_(\d+)"), r"\1_blocks_\2"),
+    (re.compile(r"(transformers_\d+)/pool"), r"\1_pool"),
+    # DenseNet feature tree prefix
+    (re.compile(r"^features/(denseblock\d+)/(denselayer\d+)"), r"\1_\2"),
+    (re.compile(r"^features/(transition\d+)"), r"\1"),
+    (re.compile(r"^features/(conv0|norm0|norm5)"), r"\1"),
+]
+
+
+def _apply_rewrites(path: str) -> str:
+    for pat, rep in _REWRITES:
+        path = pat.sub(rep, path)
+    return path
+
+
 def convert_tensor(path: str, arr: np.ndarray, is_bn: bool):
     """Returns (collection, leaf_name, converted_array)."""
     leaf = path.rsplit("/", 1)[-1]
@@ -95,7 +121,7 @@ def torch_state_dict_to_flax(
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
-        merged = _merge_indices(key)
+        merged = _apply_rewrites(_merge_indices(key))
         mod_path = merged.rsplit("/", 1)[0] if "/" in merged else ""
         is_bn = bool(bn_paths.search(mod_path)) or merged.rsplit("/", 1)[-1] in (
             "running_mean", "running_var",
