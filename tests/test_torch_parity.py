@@ -140,3 +140,237 @@ def test_input_gradient_parity(parity_pair):
     mask = np.abs(t_grad) > 1e-3 * denom
     agree = (np.sign(j_grad[mask]) == np.sign(t_grad[mask])).mean()
     assert agree > 0.999
+
+
+class TorchVGG16(tnn.Module):
+    """torchvision-naming VGG-16 (features.N / classifier.N)."""
+
+    CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        layers = []
+        inp = 3
+        for v in self.CFG:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(inp, v, 3, padding=1))
+                layers.append(tnn.ReLU())
+                inp = v
+        self.features = tnn.Sequential(*layers)
+        self.classifier = tnn.Sequential(
+            tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(), tnn.Dropout(),
+            tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(),
+            tnn.Linear(4096, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        return self.classifier(torch.flatten(x, 1))
+
+
+def test_vgg16_logits_parity():
+    import jax.numpy as jnp
+
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    tmodel = TorchVGG16().eval()
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+    surrogate = make_model("vgg16", pretrained=False)
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:5]
+    assert not report["mismatched"], report["mismatched"][:5]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 224, 224, 3).astype(np.float32)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2))
+        ).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=5e-3, rtol=1e-3)
+
+
+class TorchViTBlock(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(dim, dim * 3)
+        self.attn.proj = tnn.Linear(dim, dim)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+        self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, D = x.shape
+        h = self.heads
+        hn = self.norm1(x)
+        qkv = self.attn.qkv(hn).reshape(B, N, 3, h, D // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-2, -1) * (D // h) ** -0.5, dim=-1)
+        out = (a @ v).transpose(1, 2).reshape(B, N, D)
+        x = x + self.attn.proj(out)
+        hn = self.norm2(x)
+        x = x + self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(hn)))
+        return x
+
+
+class TorchViT(tnn.Module):
+    """timm-naming tiny ViT matching models/vit.py (patch 16, dim 64)."""
+
+    def __init__(self, dim=64, depth=2, heads=2, num_classes=1000, n_tokens=5):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, dim, 16, 16)
+        self.cls_token = tnn.Parameter(torch.zeros(1, 1, dim).normal_(0, 0.5))
+        self.pos_embed = tnn.Parameter(torch.zeros(1, n_tokens, dim).normal_(0, 0.02))
+        self.blocks = tnn.Sequential(*[TorchViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+        self.head = tnn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        x = self.blocks(x)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+def test_vit_logits_parity():
+    import jax.numpy as jnp
+
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+    from transferattack_tpu.models.vit import VisionTransformer
+    from transferattack_tpu.models import Surrogate, WrappedModel
+
+    tmodel = TorchViT().eval()
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+
+    import jax
+
+    backbone = VisionTransformer(patch_size=16, dim=64, depth=2, num_heads=2)
+    module = WrappedModel(backbone=backbone, size=32,
+                          mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    surrogate = Surrogate(name="tiny_vit", module=module, variables=variables,
+                          input_size=32)
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["mismatched"], report["mismatched"][:8]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2))
+        ).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-4, rtol=1e-3)
+
+
+class TorchConvBNReLU(tnn.Sequential):
+    def __init__(self, inp, out, kernel=3, stride=1, groups=1):
+        pad = (kernel - 1) // 2
+        super().__init__(
+            tnn.Conv2d(inp, out, kernel, stride, pad, groups=groups, bias=False),
+            tnn.BatchNorm2d(out),
+            tnn.ReLU6(),
+        )
+
+
+class TorchInvertedResidual(tnn.Module):
+    def __init__(self, inp, oup, stride, expand):
+        super().__init__()
+        hidden = inp * expand
+        layers = []
+        if expand != 1:
+            layers.append(TorchConvBNReLU(inp, hidden, 1))
+        layers.extend([
+            TorchConvBNReLU(hidden, hidden, 3, stride, groups=hidden),
+            tnn.Conv2d(hidden, oup, 1, bias=False),
+            tnn.BatchNorm2d(oup),
+        ])
+        self.conv = tnn.Sequential(*layers)
+        self.use_res = stride == 1 and inp == oup
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class TorchMobileNetV2(tnn.Module):
+    CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        feats = [TorchConvBNReLU(3, 32, 3, 2)]
+        inp = 32
+        for t, c, n, s in self.CFG:
+            for i in range(n):
+                feats.append(TorchInvertedResidual(inp, c, s if i == 0 else 1, t))
+                inp = c
+        feats.append(TorchConvBNReLU(inp, 1280, 1))
+        self.features = tnn.Sequential(*feats)
+        self.classifier = tnn.Sequential(tnn.Dropout(), tnn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+def test_mobilenet_v2_logits_parity():
+    import jax.numpy as jnp
+
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    tmodel = TorchMobileNetV2().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    # torchvision keys are features.N.conv... but for intermediate blocks the
+    # state_dict already carries the 'conv' segment, so rename is generic
+    state = {k.replace("features.", "features."): v
+             for k, v in tmodel.state_dict().items()}
+    converted = torch_state_dict_to_flax(state)
+    surrogate = make_model("mobilenet_v2", pretrained=False, input_size=64)
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["mismatched"], report["mismatched"][:8]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2))
+        ).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)

@@ -73,6 +73,12 @@ _REWRITES = [
     (re.compile(r"^features/(denseblock\d+)/(denselayer\d+)"), r"\1_\2"),
     (re.compile(r"^features/(transition\d+)"), r"\1"),
     (re.compile(r"^features/(conv0|norm0|norm5)"), r"\1"),
+    # MobileNetV2 ConvBNReLU Sequentials: features.0.{0,1} and the per-block
+    # conv.{k}.{0,1} pairs become named conv/bn children
+    (re.compile(r"^(features_\d+)_0(?=/)"), r"\1/conv"),
+    (re.compile(r"^(features_\d+)_1(?=/)"), r"\1/bn"),
+    (re.compile(r"(conv_\d+)_0(?=/)"), r"\1/conv"),
+    (re.compile(r"(conv_\d+)_1(?=/)"), r"\1/bn"),
 ]
 
 
@@ -115,13 +121,30 @@ def torch_state_dict_to_flax(
             node = node.setdefault(p, {})
         node[path_parts[-1]] = value
 
+    # pre-scan: module paths that are BatchNorms (they carry running_mean);
+    # MobileNetV2's bare ``conv.N`` BN modules then map onto ``bn_{N-1}``
+    # (our InvertedResidual names the project conv/bn pair with one index)
+    bn_modules = set()
+    for key in state:
+        if key.endswith("running_mean"):
+            bn_modules.add(_merge_indices(key).rsplit("/", 1)[0])
+    bn_renames = {}
+    for mod in bn_modules:
+        m = re.search(r"(.*)/conv_(\d+)$", mod)
+        if m:
+            bn_renames[mod] = f"{m.group(1)}/bn_{int(m.group(2)) - 1}"
+
     for key, tensor in state.items():
         if key.endswith("num_batches_tracked"):
             continue
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
-        merged = _apply_rewrites(_merge_indices(key))
+        merged = _merge_indices(key)
+        mod = merged.rsplit("/", 1)[0] if "/" in merged else ""
+        if mod in bn_renames:
+            merged = bn_renames[mod] + "/" + merged.rsplit("/", 1)[-1]
+        merged = _apply_rewrites(merged)
         mod_path = merged.rsplit("/", 1)[0] if "/" in merged else ""
         is_bn = bool(bn_paths.search(mod_path)) or merged.rsplit("/", 1)[-1] in (
             "running_mean", "running_var",
