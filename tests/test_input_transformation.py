@@ -99,3 +99,22 @@ def test_bsr_permutation_is_content_preserving_without_rotation():
     perm = jax.random.permutation(jax.random.PRNGKey(4), 3)
     rowmap = np.asarray(permute_strips(edges, perm, 16))
     assert sorted(rowmap.tolist()) == list(range(16))
+
+
+def test_pallas_fused_update_matches_reference():
+    import jax.numpy as jnp
+
+    from transferattack_tpu.ops.pallas_update import fused_sign_update
+
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(rng.randn(4, 128, 128, 8).astype(np.float32)) * 0.05
+    m = jnp.asarray(rng.randn(4, 128, 128, 8).astype(np.float32))
+    x = jnp.asarray(rng.rand(4, 128, 128, 8).astype(np.float32))
+    ref = jnp.clip(x + jnp.clip(d + 0.01 * jnp.sign(m), -16 / 255, 16 / 255),
+                   0, 1) - x
+    out = fused_sign_update(d, m, x, 0.01, 16 / 255, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # ragged shapes use the identical jnp fallback
+    out2 = fused_sign_update(d[:, :100], m[:, :100], x[:, :100], 0.01, 16 / 255)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref)[:, :100],
+                               atol=1e-6)

@@ -292,6 +292,12 @@ class Attack:
     def update_delta(self, delta: Array, x: Array, grad_dir: Array) -> Array:
         """Step + project (reference ``attack.py:145-153``)."""
         if self.norm == "linfty":
+            from .ops.pallas_update import fused_sign_update, pallas_enabled
+
+            if pallas_enabled():
+                return fused_sign_update(
+                    delta, grad_dir, x, self.alpha, self.eps, img_min, img_max
+                )
             delta = jnp.clip(
                 delta + self.alpha * jnp.sign(grad_dir), -self.eps, self.eps
             )
