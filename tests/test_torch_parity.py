@@ -374,3 +374,211 @@ def test_mobilenet_v2_logits_parity():
         ).numpy()
     j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
     np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+class TorchDenseLayer(tnn.Module):
+    def __init__(self, inp, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm2d(inp)
+        self.conv1 = tnn.Conv2d(inp, bn_size * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+        self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        out = self.conv1(self.relu(self.norm1(x)))
+        out = self.conv2(self.relu(self.norm2(out)))
+        return torch.cat([x, out], 1)
+
+
+class TorchDenseNetTiny(tnn.Module):
+    """torchvision-naming DenseNet with tiny config (2, 2) for the converter
+    tree-rule test."""
+
+    def __init__(self, block_config=(2, 2), growth=32, init=64, num_classes=1000):
+        super().__init__()
+        features = tnn.Module()
+        features.conv0 = tnn.Conv2d(3, init, 7, 2, 3, bias=False)
+        features.norm0 = tnn.BatchNorm2d(init)
+        feats = init
+        for i, n in enumerate(block_config):
+            block = tnn.Module()
+            for j in range(n):
+                setattr(block, f"denselayer{j + 1}", TorchDenseLayer(feats, growth))
+                feats += growth
+            setattr(features, f"denseblock{i + 1}", block)
+            if i != len(block_config) - 1:
+                trans = tnn.Module()
+                trans.norm = tnn.BatchNorm2d(feats)
+                trans.conv = tnn.Conv2d(feats, feats // 2, 1, bias=False)
+                feats //= 2
+                setattr(features, f"transition{i + 1}", trans)
+        features.norm5 = tnn.BatchNorm2d(feats)
+        self.features = features
+        self.classifier = tnn.Linear(feats, num_classes)
+        self.block_config = block_config
+
+    def forward(self, x):
+        f = self.features
+        x = tnn.functional.max_pool2d(
+            tnn.functional.relu(f.norm0(f.conv0(x))), 3, 2, 1
+        )
+        for i in range(len(self.block_config)):
+            block = getattr(f, f"denseblock{i + 1}")
+            for j in range(self.block_config[i]):
+                x = getattr(block, f"denselayer{j + 1}")(x)
+            if i != len(self.block_config) - 1:
+                t = getattr(f, f"transition{i + 1}")
+                x = tnn.functional.avg_pool2d(t.conv(tnn.functional.relu(t.norm(x))), 2)
+        x = tnn.functional.relu(f.norm5(x))
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+def test_densenet_logits_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from transferattack_tpu.models import Surrogate, WrappedModel
+    from transferattack_tpu.models.densenet import DenseNet
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    tmodel = TorchDenseNetTiny().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    backbone = DenseNet(block_config=(2, 2))
+    module = WrappedModel(backbone=backbone, size=64,
+                          mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    surrogate = Surrogate(name="densenet_tiny", module=module,
+                          variables=variables, input_size=64)
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["mismatched"], report["mismatched"][:8]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2))
+        ).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+class TBasicConv2d(tnn.Module):
+    def __init__(self, inp, out, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(inp, out, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(out, eps=1e-3)
+
+    def forward(self, x):
+        return tnn.functional.relu(self.bn(self.conv(x)))
+
+
+class TInceptionA(tnn.Module):
+    def __init__(self, inp, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(inp, 64, kernel_size=1)
+        self.branch5x5_1 = TBasicConv2d(inp, 48, kernel_size=1)
+        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv2d(inp, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBasicConv2d(inp, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(
+            tnn.functional.avg_pool2d(x, 3, 1, 1, count_include_pad=True)
+        )
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class TInceptionStem(tnn.Module):
+    """Inception-v3 stem + one InceptionA — enough to pin the 299 path,
+    asymmetric padding, eps=1e-3 BN, and branch concat ordering."""
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.fc = tnn.Linear(256, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = tnn.functional.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = tnn.functional.max_pool2d(x, 3, 2)
+        x = self.Mixed_5b(x)
+        x = x.mean([2, 3])
+        return self.fc(x)
+
+
+def test_inception_stem_logits_parity():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from transferattack_tpu.models import Surrogate, WrappedModel
+    from transferattack_tpu.models.inception import BasicConv2d, InceptionA
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    class JInceptionStem(nn.Module):
+        @nn.compact
+        def __call__(self, x, features_only=False):
+            x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+            x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+            x = BasicConv2d(64, (3, 3), padding=((1, 1), (1, 1)),
+                            name="Conv2d_2b_3x3")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+            x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = InceptionA(32, name="Mixed_5b")(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(1000, name="fc")(x)
+
+    tmodel = TInceptionStem().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    module = WrappedModel(backbone=JInceptionStem(), size=299,
+                          mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    surrogate = Surrogate(name="inc_stem", module=module, variables=variables,
+                          input_size=299)
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["mismatched"], report["mismatched"][:8]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 299, 299, 3).astype(np.float32)
+    xn = (x - 0.5) / 0.5
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)

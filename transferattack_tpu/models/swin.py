@@ -82,6 +82,17 @@ class WindowAttention(nn.Module):
         return nn.Dense(C, name="proj")(out)
 
 
+class SwinMlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -108,9 +119,7 @@ class SwinBlock(nn.Module):
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
         x = shortcut + h
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = SwinMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
         return x + h
 
 

@@ -63,6 +63,7 @@ _REWRITES = [
     (re.compile(r"downsample_0"), "downsample_conv"),
     (re.compile(r"downsample_1"), "downsample_bn"),
     # timm ViT/PiT patch embed conv lives directly on the module here
+    (re.compile(r"patch_embed/norm"), "patch_norm"),
     (re.compile(r"patch_embed/proj"), "patch_embed"),
     # Swin/PiT stage-nested blocks are flat names here
     (re.compile(r"(layers_\d+)/blocks_(\d+)"), r"\1_blocks_\2"),
@@ -135,8 +136,9 @@ def torch_state_dict_to_flax(
             bn_renames[mod] = f"{m.group(1)}/bn_{int(m.group(2)) - 1}"
 
     for key, tensor in state.items():
-        if key.endswith("num_batches_tracked"):
-            continue
+        if key.endswith(("num_batches_tracked", "relative_position_index",
+                         "attn_mask")):
+            continue  # derived buffers recomputed on the fly here
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
