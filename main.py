@@ -72,11 +72,10 @@ def run_attack(args) -> None:
     )
     if attacker.requires_batchsize is not None:
         args.batchsize = attacker.requires_batchsize
-    runner = (
-        attacker
-        if args.no_mesh
-        else ShardedAttackRunner(attacker, make_mesh())
-    )
+    # generation attacks run a generator forward, not the scan engine —
+    # they have no `.run` for the sharded wrapper to jit
+    shardable = hasattr(attacker, "run") and not args.no_mesh
+    runner = ShardedAttackRunner(attacker, make_mesh()) if shardable else attacker
     dataset = AdvDataset(
         input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
     )

@@ -86,8 +86,13 @@ class DUNet(nn.Module):
 
 def run_hgd(input_dir: str, output_dir: str, batchsize: int = 16,
             model_name: str = "resnet50", ckpt: str = "hgd_denoiser",
-            out_csv: str = "hgd_predictions.csv") -> str:
-    """Denoise then classify (``defense/hgd/defense.py:57``)."""
+            out_csv: str = "hgd_predictions.csv", ensemble=None) -> str:
+    """Denoise then classify (``defense/hgd/defense.py:57``).
+
+    The reference fronts a 4-model ensemble (ResNet152-wide, IncResV2, IncV3,
+    ResNeXt101 — ``defense/hgd/{resnet,inceptionresnet,v3,resnext101}.py``);
+    pass ``ensemble=[names...]`` for the multi-model logit-mean variant (the
+    nearest members available in this zoo), or a single ``model_name``."""
     from ..utils.data import AdvDataset
 
     denoiser = DUNet()
@@ -98,12 +103,16 @@ def run_hgd(input_dir: str, output_dir: str, batchsize: int = 16,
     else:
         warnings.warn(f"HGD: denoiser checkpoint {path} missing; random init.")
         dvars = denoiser.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)))
-    surrogate = make_model(model_name)
+    names_list = ensemble if ensemble else [model_name]
+    surrogates = [make_model(n) for n in names_list]
 
     @jax.jit
     def classify(x):
         clean = jnp.clip(denoiser.apply(dvars, x), 0.0, 1.0)
-        return surrogate.apply(surrogate.variables, clean).argmax(-1)
+        logits = 0.0
+        for s in surrogates:
+            logits = logits + s.apply(s.variables, clean)
+        return (logits / len(surrogates)).argmax(-1)
 
     ds = AdvDataset(input_dir=input_dir, output_dir=output_dir, eval_mode=True)
     preds = {}
