@@ -60,3 +60,25 @@ def test_copies_axis_sharding_2d_mesh(toy_batch):
             jax.random.PRNGKey(sim.seed))
     )
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_runner_targeted_pairs_and_host_state(toy_batch, tmp_path):
+    """The sharded runner must slice (label, target) pairs like __call__ and
+    route host-state attacks through their own entry point."""
+    x, y = toy_batch
+    target = (y + 3) % 10
+    pairs = np.stack([y, target], axis=1)
+
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn", targeted=True)
+    ref = np.asarray(atk(x, pairs))
+    atk2 = ta.load_attack_class("mifgsm")(model_name="toy_cnn", targeted=True)
+    atk2.model = atk.model
+    out = ShardedAttackRunner(atk2, make_mesh())(x, pairs)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # host-state attack (POTRIP keeps source labels on the host)
+    pot = ta.load_attack_class("potrip")(model_name="toy_cnn", epoch=3)
+    runner = ShardedAttackRunner(pot, make_mesh())
+    delta = runner(x, pairs)
+    assert delta.shape == x.shape
+    assert np.all(np.abs(delta) <= 16 / 255 + 1e-5)

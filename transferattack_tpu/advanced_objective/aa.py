@@ -19,6 +19,8 @@ from ..attack import Attack, AttackState
 class AA(Attack):
     """Official args (``aa.py``): layer_name='layer2', targeted protocol."""
 
+    host_state = True  # __call__ does host-side label/anchor prep
+
     def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
                  decay=1.0, layer_name="layer2", input_dir="./data", targeted=True,
                  random_start=False, norm="linfty", loss="crossentropy",

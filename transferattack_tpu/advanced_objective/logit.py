@@ -82,6 +82,8 @@ class POTRIP(LOGIT):
     """Po+Trip (``potrip.py:30-161``): Poincaré-ball distance to the target
     one-hot plus a cosine triplet pushing away from the source class."""
 
+    host_state = True  # __call__ does host-side label/anchor prep
+
     def __init__(self, *args, lamb=0.01, gamma=0.007, attack="POTRIP", **kwargs):
         kwargs["attack"] = attack
         kwargs.setdefault("kernel_size", 5)

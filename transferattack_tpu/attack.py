@@ -136,6 +136,10 @@ class Attack:
     # (copies·batch) axis of augmented model inputs — lets the augmentation-
     # copy axis ride its own mesh dimension (SURVEY.md §2.10 axis 2)
     copies_sharding = None
+    # attacks whose __call__ performs host-side work (anchor-image loading,
+    # label bookkeeping) set this so drivers call them directly instead of
+    # re-jitting .run around the preprocessing
+    host_state = False
 
     def __init__(
         self,
@@ -357,11 +361,16 @@ class Attack:
         if key is None:
             key = jax.random.PRNGKey(self.seed + idx)
         x = jnp.asarray(data)
-        y = jnp.asarray(label)
-        if self.targeted and y.ndim == 2:
-            # targeted batches carry (ground-truth, target) pairs; attack the
-            # target column (reference ``attack.py:76-78``)
-            y = y[:, 1]
+        y = self.prepare_labels(label)
         if self._jitted_run is None:
             self._jitted_run = jax.jit(self.run)
         return self._jitted_run(self.model.variables, x, y, key)
+
+    def prepare_labels(self, label):
+        """Targeted batches carry (ground-truth, target) pairs; attack the
+        target column (reference ``attack.py:76-78``).  Shared with the
+        sharded runner so both entry points agree."""
+        y = jnp.asarray(label)
+        if self.targeted and y.ndim == 2:
+            y = y[:, 1]
+        return y

@@ -89,6 +89,8 @@ class RFCoA(_MultiModelAttack):
     """Official args (``rfcoa.py:38``): epoch=300, targeted, ensemble of
     resnet50/vgg16/densenet121."""
 
+    host_state = True  # custom __call__ drives the Adam mask/alpha loop
+
     def __init__(self, model_name=None, epoch=300, eps=16 / 255, targeted=True,
                  random_start=True, norm="linfty", loss="crossentropy",
                  attack="RFCoA", **kwargs):

@@ -76,12 +76,17 @@ class ShardedAttackRunner:
     def __call__(self, x: np.ndarray, y: np.ndarray, key=None, idx: int = 0):
         import jax.numpy as jnp
 
+        if getattr(self.attack, "host_state", False):
+            # attacks with host-side __call__ preprocessing (anchor images,
+            # source-label bookkeeping) run through their own entry point
+            return np.asarray(self.attack(x, y, key=key, idx=idx))
         if key is None:
             key = jax.random.PRNGKey(self.attack.seed + idx)
         if self._fn is None:
             self._fn = self._build()
         n_dev = self.mesh.devices.size
         xp, n = pad_to_multiple(np.asarray(x), n_dev)
-        yp, _ = pad_to_multiple(np.asarray(y), n_dev)
+        yp = np.asarray(self.attack.prepare_labels(y))
+        yp, _ = pad_to_multiple(yp, n_dev)
         delta = self._fn(self.attack.model.variables, jnp.asarray(xp), jnp.asarray(yp), key)
         return np.asarray(delta)[:n]
