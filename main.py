@@ -80,6 +80,7 @@ def run_attack(args) -> None:
         input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
     )
     profiled = False
+    pending = None
     t_start, n_done = time.perf_counter(), 0
     for images, labels, names in dataset.as_batches(args.batchsize):
         if args.skip_existing and all(
@@ -97,6 +98,14 @@ def run_attack(args) -> None:
                 delta = np.asarray(runner(images, labels, idx=idx))
                 sub = os.path.join(args.output_dir, str(target_class))
                 save_images(sub, images + delta, names)
+        elif hasattr(runner, "dispatch"):
+            # pipeline: dispatch this batch, then write the PREVIOUS batch's
+            # PNGs while the chip works
+            handle = runner.dispatch(images, labels)
+            if pending is not None:
+                ph, pimages, pnames = pending
+                save_images(args.output_dir, pimages + ph(), pnames)
+            pending = (handle, images, names)
         else:
             delta = np.asarray(runner(images, labels))
             save_images(args.output_dir, images + delta, names)
@@ -104,6 +113,9 @@ def run_attack(args) -> None:
             ctx.__exit__(None, None, None)
             profiled = True
         n_done += len(names)
+    if pending is not None:
+        ph, pimages, pnames = pending
+        save_images(args.output_dir, pimages + ph(), pnames)
     dt = time.perf_counter() - t_start
     if n_done:
         print(f"[{args.attack}] {n_done} images in {dt:.1f}s "

@@ -95,24 +95,33 @@ class OPS(Attack):
             return grad, {}
 
         pool = state.extra["eps_pool"]
-        k_sel, k_ops, k_lvl, k_chain = jax.random.split(key, 4)
+        k_sel, k_chain = jax.random.split(key)
         sel = jax.random.choice(
             k_sel, pool.shape[0], (self.num_sample_neighbor,), replace=False
         )
-        # chains: (num_operator, max_level) indices; identity-pad beyond level
-        ops_idx = jax.random.randint(
-            k_ops, (self.num_sample_operator, self.max_level), 0, NUM_BASIC_OPS
-        )
-        levels = jnp.asarray(self.sample_levels)[
-            jax.random.randint(k_lvl, (self.num_sample_operator,), 0, len(self.sample_levels))
-        ]
-        pad_mask = jnp.arange(self.max_level)[None, :] < levels[:, None]
-        ops_idx = jnp.where(pad_mask, ops_idx, 0)
 
-        chain_keys = jax.random.split(k_chain, self.num_sample_operator)
+        def sample_chains(k):
+            """Fresh op chains per noise sample — the reference re-inits its
+            op list for every eps (``ops.py:88-92``)."""
+            k_ops, k_lvl, k_ck = jax.random.split(k, 3)
+            ops_idx = jax.random.randint(
+                k_ops, (self.num_sample_operator, self.max_level), 0,
+                NUM_BASIC_OPS,
+            )
+            levels = jnp.asarray(self.sample_levels)[
+                jax.random.randint(
+                    k_lvl, (self.num_sample_operator,), 0, len(self.sample_levels)
+                )
+            ]
+            pad_mask = jnp.arange(self.max_level)[None, :] < levels[:, None]
+            return jnp.where(pad_mask, ops_idx, 0), jax.random.split(
+                k_ck, self.num_sample_operator
+            )
 
-        def eps_body(acc, e_idx):
+        def eps_body(acc, carry):
+            e_idx, ek = carry
             eps_noise = pool[e_idx]
+            ops_idx, chain_keys = sample_chains(ek)
 
             def loss_fn(delta):
                 x_near = x + delta + eps_noise[None]
@@ -131,7 +140,10 @@ class OPS(Attack):
             g = jax.grad(loss_fn)(state.delta)
             return acc + g, None
 
-        total, _ = jax.lax.scan(eps_body, jnp.zeros_like(x), sel)
+        total, _ = jax.lax.scan(
+            eps_body, jnp.zeros_like(x),
+            (sel, jax.random.split(k_chain, self.num_sample_neighbor)),
+        )
         return (grad + total) / (
             self.num_sample_neighbor * self.num_sample_operator + 1
         ), {}

@@ -73,13 +73,17 @@ class ShardedAttackRunner:
         )
         return run
 
-    def __call__(self, x: np.ndarray, y: np.ndarray, key=None, idx: int = 0):
+    def dispatch(self, x: np.ndarray, y: np.ndarray, key=None, idx: int = 0):
+        """Asynchronously dispatch the attack; returns a lazy handle whose
+        ``materialize()`` blocks and yields the numpy delta.  Lets the CLI
+        overlap PNG encode/decode with the next batch's device compute."""
         import jax.numpy as jnp
 
         if getattr(self.attack, "host_state", False):
             # attacks with host-side __call__ preprocessing (anchor images,
             # source-label bookkeeping) run through their own entry point
-            return np.asarray(self.attack(x, y, key=key, idx=idx))
+            value = np.asarray(self.attack(x, y, key=key, idx=idx))
+            return lambda: value
         if key is None:
             key = jax.random.PRNGKey(self.attack.seed + idx)
         if self._fn is None:
@@ -89,4 +93,7 @@ class ShardedAttackRunner:
         yp = np.asarray(self.attack.prepare_labels(y))
         yp, _ = pad_to_multiple(yp, n_dev)
         delta = self._fn(self.attack.model.variables, jnp.asarray(xp), jnp.asarray(yp), key)
-        return np.asarray(delta)[:n]
+        return lambda: np.asarray(delta)[:n]
+
+    def __call__(self, x: np.ndarray, y: np.ndarray, key=None, idx: int = 0):
+        return self.dispatch(x, y, key=key, idx=idx)()
