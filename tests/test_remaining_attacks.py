@@ -63,3 +63,11 @@ def test_registry_size_covers_reference_zoo():
     """The reference registers ~105 attacks (SURVEY.md §1/L2); ours must
     cover the same key set."""
     assert len(ta.attack_zoo) >= 100
+
+
+def test_every_registry_key_resolves():
+    """Every registered key must import and resolve to a class (catches
+    module-path typos across all 127 entries)."""
+    for key in ta.attack_zoo:
+        cls = ta.load_attack_class(key)
+        assert isinstance(cls, type), key

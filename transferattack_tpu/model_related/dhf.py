@@ -20,17 +20,26 @@ from ..input_transformation.dim import DIM
 from ..input_transformation.sim import Admix, SIM
 from ..input_transformation.tim import TIM
 
-# default DHF tap points: every block of stages 3 and 4 (high-level features)
-_RN50_DHF_BLOCKS = tuple(
-    [f"layer3_{i}" for i in range(6)] + [f"layer4_{i}" for i in range(3)]
-)
+def _default_dhf_blocks(model) -> tuple:
+    """Every block of the last two stages (high-level features), derived
+    from the surrogate's own stage sizes so any ResNet depth works."""
+    sizes = getattr(model.module.backbone, "stage_sizes", None)
+    if sizes is None:
+        return ("stage2",)  # non-ResNet surrogates tap the sown stages
+    out = []
+    for stage in (3, 4):
+        for j in range(sizes[stage - 1]):
+            out.append(f"layer{stage}_{j}")
+    return tuple(out)
 
 
 class DHFMixin:
     """Attack-agnostic DHF machinery; compose with any transform-based base."""
 
     def _dhf_init(self, dhf_modules, mixup_weight_max, random_keep_prob):
-        self.dhf_modules = tuple(dhf_modules) if dhf_modules else _RN50_DHF_BLOCKS
+        self.dhf_modules = (
+            tuple(dhf_modules) if dhf_modules else _default_dhf_blocks(self.model)
+        )
         self.mixup_weight_max = float(mixup_weight_max)
         self.random_keep_prob = float(random_keep_prob)
 
