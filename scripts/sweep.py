@@ -37,6 +37,8 @@ def main():
     p.add_argument("--targeted", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--eval_models", default="", type=str,
+                   help="comma list overriding the 8 paper eval models")
     args = p.parse_args()
 
     for attack in args.attacks.split(","):
@@ -62,6 +64,8 @@ def main():
             ]
             if args.targeted:
                 eval_cmd.append("--targeted")
+            if args.eval_models:
+                eval_cmd.extend(["--eval_models", args.eval_models])
             print("==>", " ".join(eval_cmd), flush=True)
             subprocess.run(eval_cmd, check=True)
 

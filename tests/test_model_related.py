@@ -117,3 +117,17 @@ def test_tgr_attn_truncation_zeroes_extremes():
             col = np.asarray(g)[b, :, c]
             assert out[b, col.argmax(), c] == 0
             assert out[b, col.argmin(), c] == 0
+
+
+def test_tgr_on_visformer(toy_batch):
+    """TGR's gradient truncation must run on the hybrid Visformer surrogate
+    (the reference's visformer_small branch, ``tgr.py:94-105``)."""
+    import transferattack_tpu as ta
+
+    x, y = toy_batch
+    atk = ta.load_attack_class("tgr")(
+        model_name="visformer_small", pretrained=False, input_size=32, epoch=3
+    )
+    delta = np.asarray(atk(x, y % 1000))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    assert np.any(delta != 0)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import register_model
+from .vit import DEFAULT_VIT_SURGERY, ViTSurgery, apply_bwd_hook
 
 
 def _bn(name):
@@ -40,16 +41,29 @@ class SpatialMlp(nn.Module):
 class ConvAttention(nn.Module):
     dim: int
     num_heads: int
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    block_index: int = 0
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = self.num_heads
         hd = C // h
+        s = self.surgery
+        meta = {"block": self.block_index, "num_heads": h, "tokens": H * W}
         qkv = nn.Conv(C * 3, (1, 1), name="qkv")(x)
+        qkv = apply_bwd_hook(
+            qkv.reshape(B, H * W, C * 3), s.qkv_bwd, meta
+        ).reshape(B, H, W, C * 3)
         qkv = qkv.reshape(B, H * W, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * hd**-0.5, axis=-1)
+        if s.attn_post is not None:
+            attn = s.attn_post(attn, meta)
+        if s.skip_attn_grad:
+            attn = jax.lax.stop_gradient(attn)
+        else:
+            attn = apply_bwd_hook(attn, s.attn_bwd, meta)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, H, W, C)
         return nn.Conv(C, (1, 1), name="proj")(out)
 
@@ -61,17 +75,26 @@ class VisformerBlock(nn.Module):
     group: int = 8
     use_attn: bool = True
     spatial_conv: bool = False
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
+    block_index: int = 0
 
     @nn.compact
     def __call__(self, x):
         if self.use_attn:
-            x = x + ConvAttention(self.dim, self.num_heads, name="attn")(
-                _bn("norm1")(x)
-            )
+            x = x + ConvAttention(
+                self.dim, self.num_heads, self.surgery, self.block_index,
+                name="attn",
+            )(_bn("norm1")(x))
+        h = _bn("norm2")(x)
+        B, H, W, C = h.shape
+        h = apply_bwd_hook(
+            h.reshape(B, H * W, C), self.surgery.mlp_in_bwd,
+            {"block": self.block_index},
+        ).reshape(B, H, W, C)
         x = x + SpatialMlp(
             int(self.dim * self.mlp_ratio), self.dim, self.group,
             self.spatial_conv, name="mlp",
-        )(_bn("norm2")(x))
+        )(h)
         return x
 
 
@@ -82,6 +105,7 @@ class Visformer(nn.Module):
     num_heads: int = 6
     group: int = 8
     num_classes: int = 1000
+    surgery: ViTSurgery = DEFAULT_VIT_SURGERY
 
     @nn.compact
     def __call__(self, x, features_only: bool = False):
@@ -101,7 +125,8 @@ class Visformer(nn.Module):
         for j in range(self.depths[0]):
             x = VisformerBlock(
                 self.embed_dim // 2, self.num_heads, group=self.group,
-                use_attn=False, spatial_conv=True, name=f"stage1_{j}",
+                use_attn=False, spatial_conv=True, surgery=self.surgery,
+                block_index=j, name=f"stage1_{j}",
             )(x)
         self.sow("intermediates", "stage1", x)
         # stage 2 at dim with attention
@@ -114,7 +139,8 @@ class Visformer(nn.Module):
         x = x + pos2
         for j in range(self.depths[1]):
             x = VisformerBlock(
-                self.embed_dim, self.num_heads, name=f"stage2_{j}"
+                self.embed_dim, self.num_heads, surgery=self.surgery,
+                block_index=self.depths[0] + j, name=f"stage2_{j}",
             )(x)
         self.sow("intermediates", "stage2", x)
         # stage 3 at dim*2 with attention
@@ -127,7 +153,9 @@ class Visformer(nn.Module):
         x = x + pos3
         for j in range(self.depths[2]):
             x = VisformerBlock(
-                self.embed_dim * 2, self.num_heads, name=f"stage3_{j}"
+                self.embed_dim * 2, self.num_heads, surgery=self.surgery,
+                block_index=self.depths[0] + self.depths[1] + j,
+                name=f"stage3_{j}",
             )(x)
         self.sow("intermediates", "stage3", x)
         x = _bn("norm")(x)
