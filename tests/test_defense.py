@@ -117,3 +117,20 @@ def test_upfirdn_identity_and_fused_act():
     np.testing.assert_allclose(up_c, 1.0, rtol=1e-4)
     act = fused_leaky_relu(x, bias=jnp.ones((2,)))
     assert act.shape == x.shape
+
+
+def test_rs_certify_radius():
+    from transferattack_tpu.defense.rs import Smooth
+    from transferattack_tpu.models import make_model
+
+    m = make_model("toy_cnn", pretrained=False)
+    smooth = Smooth(m, num_classes=10, sigma=0.25)
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    preds, radii = smooth.certify(x, jax.random.PRNGKey(0), n0=40, n=120,
+                                  alpha=0.05, chunk=20)
+    assert preds.shape == radii.shape == (2,)
+    for p, r in zip(preds, radii):
+        if p == Smooth.ABSTAIN:
+            assert r == 0.0
+        else:
+            assert 0 <= p < 10 and r >= 0.0

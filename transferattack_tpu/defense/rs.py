@@ -50,6 +50,40 @@ class Smooth:
         counts, _ = jax.lax.scan(body, init, jax.random.split(key, steps))
         return counts
 
+    def certify(self, x, key, n0: int = 100, n: int = 1000,
+                alpha: float = 0.001, chunk: int = 50):
+        """Certified prediction + L2 radius per image (``core.py:18-52``):
+        select the top class with n0 draws, lower-bound its probability with
+        n draws (Clopper–Pearson), radius = σ·Φ⁻¹(p̲A); abstain below 0.5."""
+        from scipy.stats import beta, norm
+
+        k1, k2 = jax.random.split(key)
+        if self._counts_fn is None:
+            self._counts_fn = jax.jit(
+                self._count_votes, static_argnames=("n", "chunk")
+            )
+        sel = np.asarray(
+            self._counts_fn(self.model.variables, jnp.asarray(x), k1,
+                            max(n0, chunk), chunk)
+        )
+        est = np.asarray(
+            self._counts_fn(self.model.variables, jnp.asarray(x), k2, n, chunk)
+        )
+        preds, radii = [], []
+        for c_sel, c_est in zip(sel, est):
+            cA = int(c_sel.argmax())
+            nA = int(c_est[cA])
+            total = int(c_est.sum())
+            # Clopper–Pearson lower bound at level alpha
+            p_lower = beta.ppf(alpha, nA, total - nA + 1) if nA > 0 else 0.0
+            if p_lower < 0.5:
+                preds.append(self.ABSTAIN)
+                radii.append(0.0)
+            else:
+                preds.append(cA)
+                radii.append(float(self.sigma * norm.ppf(p_lower)))
+        return np.asarray(preds), np.asarray(radii)
+
     def predict(self, x, key, n: int = 1000, alpha: float = 0.001,
                 chunk: int = 50) -> np.ndarray:
         """Per-image smoothed prediction with abstention (``core.py:53+``)."""
