@@ -44,9 +44,11 @@ class PiT(nn.Module):
     def __call__(self, x, features_only: bool = False):
         B = x.shape[0]
         dim0 = self.base_dims[0] * self.heads[0]
+        # timm uses an unpadded (VALID) conv: 224² → 31² tokens for pit_b
         x = nn.Conv(
             dim0, (self.patch_size, self.patch_size),
-            strides=(self.stride, self.stride), name="patch_embed",
+            strides=(self.stride, self.stride), padding="VALID",
+            name="patch_embed",
         )(x)
         H, W = x.shape[1], x.shape[2]
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, H, W, dim0))

@@ -95,6 +95,9 @@ def convert_tensor(path: str, arr: np.ndarray, is_bn: bool):
     if is_bn and leaf in _BN_SUFFIXES:
         coll, name = _BN_SUFFIXES[leaf]
         return coll, name, arr
+    if leaf.startswith("pos_embed") and arr.ndim == 4:
+        # PiT/Visformer keep spatial pos embeddings as (1, C, H, W)
+        return "params", leaf, arr.transpose(0, 2, 3, 1)
     if leaf == "weight":
         if arr.ndim == 4:  # conv OIHW → HWIO
             return "params", "kernel", arr.transpose(2, 3, 1, 0)
