@@ -111,3 +111,74 @@ def test_tim_delta_parity(pair):
     ours = np.asarray(atk(x, y))
     agree = (np.sign(ref) == np.sign(ours)).mean()
     assert agree > 0.99, f"delta sign agreement {agree:.4f}"
+
+
+def test_nifgsm_delta_parity(pair):
+    """Nesterov lookahead: grads taken at x+δ+α·decay·momentum."""
+    tmodel, surrogate = pair
+    import transferattack_tpu as ta
+
+    rng = np.random.RandomState(2)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay = 16 / 255, 1.6 / 255, 1.0
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    for _ in range(10):
+        look = xt + delta + alpha * decay * momentum
+        loss = tnn.functional.cross_entropy(torch_forward(tmodel, look), yt)
+        grad = torch.autograd.grad(loss, delta)[0]
+        momentum = decay * momentum + grad / grad.abs().mean(
+            dim=(1, 2, 3), keepdim=True
+        )
+        d = torch.clamp(delta.data + alpha * momentum.sign(), -eps, eps)
+        delta = torch.clamp(xt + d, 0, 1) - xt
+        delta.requires_grad_(True)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("nifgsm")(model_name="resnet18",
+                                         pretrained=False, input_size=64)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.99, f"delta sign agreement {agree:.4f}"
+
+
+def test_sim_delta_parity(pair):
+    """Scale-invariant copies x/2^i concatenated: the copies-axis vmap must
+    reproduce the reference's batch-concat math exactly."""
+    tmodel, surrogate = pair
+    import transferattack_tpu as ta
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay, num_scale = 16 / 255, 1.6 / 255, 1.0, 3
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    for _ in range(10):
+        copies = torch.cat([(xt + delta) / (2 ** i) for i in range(num_scale)])
+        loss = tnn.functional.cross_entropy(
+            torch_forward(tmodel, copies), yt.repeat(num_scale)
+        )
+        grad = torch.autograd.grad(loss, delta)[0]
+        momentum = decay * momentum + grad / grad.abs().mean(
+            dim=(1, 2, 3), keepdim=True
+        )
+        d = torch.clamp(delta.data + alpha * momentum.sign(), -eps, eps)
+        delta = torch.clamp(xt + d, 0, 1) - xt
+        delta.requires_grad_(True)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("sim")(model_name="resnet18", pretrained=False,
+                                      input_size=64, num_scale=num_scale)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.99, f"delta sign agreement {agree:.4f}"

@@ -273,3 +273,156 @@ def test_pit_logits_parity():
         ).numpy()
     j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
     np.testing.assert_allclose(j_logits, t_logits, atol=2e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------- full Inception twin
+from tests.test_torch_parity import TBasicConv2d, TInceptionA  # noqa: E402
+
+
+class TInceptionB(tnn.Module):
+    def __init__(self, inp):
+        super().__init__()
+        self.branch3x3 = TBasicConv2d(inp, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv2d(inp, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            tnn.functional.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class TInceptionC(tnn.Module):
+    def __init__(self, inp, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(inp, 192, kernel_size=1)
+        self.branch7x7_1 = TBasicConv2d(inp, c7, kernel_size=1)
+        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv2d(inp, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv2d(inp, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(
+            tnn.functional.avg_pool2d(x, 3, 1, 1, count_include_pad=True))
+        return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+
+class TInceptionD(tnn.Module):
+    def __init__(self, inp):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv2d(inp, 192, kernel_size=1)
+        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBasicConv2d(inp, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+            tnn.functional.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class TInceptionE(tnn.Module):
+    def __init__(self, inp):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(inp, 320, kernel_size=1)
+        self.branch3x3_1 = TBasicConv2d(inp, 384, kernel_size=1)
+        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv2d(inp, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv2d(inp, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(
+            tnn.functional.avg_pool2d(x, 3, 1, 1, count_include_pad=True))
+        return torch.cat([self.branch1x1(x), b3, bd, bp], 1)
+
+
+class TorchInceptionV3(tnn.Module):
+    """Full torchvision-naming Inception-v3 (no aux head)."""
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280)
+        self.Mixed_7c = TInceptionE(2048)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = tnn.functional.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = tnn.functional.max_pool2d(x, 3, 2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                     "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                     "Mixed_7c"):
+            x = getattr(self, name)(x)
+        x = x.mean([2, 3])
+        return self.fc(x)
+
+
+def test_inception_v3_full_logits_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    tmodel = TorchInceptionV3().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.8, 1.2)
+
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+    surrogate = make_model("inception_v3", pretrained=False)
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["mismatched"], report["mismatched"][:8]
+    surrogate.variables = variables
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 299, 299, 3).astype(np.float32)
+    xn = (x - 0.5) / 0.5
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+    j_logits = np.asarray(surrogate.apply(surrogate.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=5e-3, rtol=1e-3)
