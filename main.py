@@ -148,6 +148,15 @@ def run_eval(args) -> None:
     records = []
     for name in names:
         surrogate = make_model(name)
+        if args.bf16:
+            import jax
+            import jax.numpy as jnp
+
+            surrogate.variables = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+                surrogate.variables,
+            )
         if args.attack in ("ttp", "m3d", "rfcoa"):
             asr = 0.0
             for target_class in generation_target_classes:

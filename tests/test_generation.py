@@ -95,6 +95,7 @@ def test_diffattack_latent_optimization_runs():
     assert np.any(delta != 0)
 
 
+@pytest.mark.slow
 def test_generator_training_reduces_target_loss(tmp_path, monkeypatch):
     """A few TTP-style training steps must decrease target-class CE, and the
     saved checkpoint must be loadable by the attack."""
