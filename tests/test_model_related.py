@@ -131,3 +131,39 @@ def test_tgr_on_visformer(toy_batch):
     delta = np.asarray(atk(x, y % 1000))
     assert np.all(np.abs(delta) <= EPS + 1e-5)
     assert np.any(delta != 0)
+
+
+def test_ghost_inception_dropout_stochastic_forward():
+    """Inception ghost (``ghost_networks/inc_v3.py:38-100``): always-on
+    dropout after every stem conv / Mixed block, driven by the 'ghost' rng —
+    two keys give two different ghost networks."""
+    from transferattack_tpu.models import make_model
+
+    m = make_model("inception_v3", pretrained=False, input_size=128,
+                   ghost_keep_prob=0.9)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    l1 = m.apply(m.variables, x, rngs={"ghost": jax.random.PRNGKey(0)})
+    l2 = m.apply(m.variables, x, rngs={"ghost": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+    # keep_prob=1 (default) is deterministic and needs no rng
+    plain = make_model("inception_v3", pretrained=False, input_size=128)
+    p1 = plain.apply(plain.variables, x)
+    p2 = plain.apply(plain.variables, x)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_ghost_inception_attack_constraints():
+    """`ghost` with an inception surrogate builds the dropout ghost family
+    (reference default ``ghost.py:40`` is inc_v3 + keep_prob 0.994)."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (1,)).astype(np.int32)
+    atk = ta.load_attack_class("ghost")(
+        model_name="inception_v3", ghost_keep_prob=0.9, pretrained=False,
+        input_size=128, epoch=2,
+    )
+    delta = np.asarray(atk(x, y))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+    assert np.any(delta != 0)

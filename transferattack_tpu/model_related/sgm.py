@@ -101,19 +101,27 @@ class BPA(MIFGSM):
 
 
 class GhostNetwork_MIFGSM(MIFGSM):
-    """Ghost networks (``ghost.py:31-53``, ``ghost_networks/resnet.py:110``):
-    every forward samples per-channel skip scalings U(1±range), making each
-    step attack a random network from the ghost family."""
+    """Ghost networks (``ghost.py:31-53``): every forward samples a random
+    network from the ghost family.  ResNet surrogates use per-channel skip
+    scalings U(1±range) (``ghost_networks/resnet.py:110``); Inception
+    surrogates use always-on dropout(1-keep_prob) after every stem conv /
+    Mixed block (``ghost_networks/inc_v3.py:38-100``)."""
 
     rng_collections = ("ghost",)
 
     def __init__(self, model_name="resnet50", ghost_keep_prob=0.994,
                  ghost_random_range=0.16, **kwargs):
         kwargs.setdefault("attack", "GhostNetwork_MIFGSM")
-        surgery = SurgeryConfig(ghost_range=float(ghost_random_range))
-        model = make_model(model_name, surgery=surgery,
-                           pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        pretrained = kwargs.pop("pretrained", True)
+        input_size = kwargs.pop("input_size", None)
+        if "inception" in model_name or model_name == "inc_v3":
+            model = make_model("inception_v3",
+                               ghost_keep_prob=float(ghost_keep_prob),
+                               pretrained=pretrained, input_size=input_size)
+        else:
+            surgery = SurgeryConfig(ghost_range=float(ghost_random_range))
+            model = make_model(model_name, surgery=surgery,
+                               pretrained=pretrained, input_size=input_size)
         super().__init__(model, **kwargs)
 
 

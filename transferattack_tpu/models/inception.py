@@ -4,6 +4,7 @@ eval-paper CNN (``transferattack/utils.py:15``; wrapped at 299 via
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -113,29 +114,41 @@ class InceptionE(nn.Module):
 
 class InceptionV3(nn.Module):
     num_classes: int = 1000
+    # ghost networks (``ghost_networks/inc_v3.py:38-100``): per-forward
+    # dropout after every stem conv / Mixed block, ACTIVE at inference
+    # (the reference uses functional dropout which ignores eval mode)
+    ghost_keep_prob: float = 1.0
+
+    def _ghost(self, x):
+        if self.ghost_keep_prob >= 1.0:
+            return x
+        rng = self.make_rng("ghost")
+        keep = jax.random.bernoulli(rng, self.ghost_keep_prob, x.shape)
+        return x * keep.astype(x.dtype) / self.ghost_keep_prob
 
     @nn.compact
     def __call__(self, x, features_only: bool = False):
-        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
-        x = BasicConv2d(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x)
+        g = self._ghost
+        x = g(BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x))
+        x = g(BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x))
+        x = g(BasicConv2d(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
-        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = g(BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x))
+        x = g(BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = g(InceptionA(32, name="Mixed_5b")(x))
+        x = g(InceptionA(64, name="Mixed_5c")(x))
+        x = g(InceptionA(64, name="Mixed_5d")(x))
         self.sow("intermediates", "mixed5", x)
-        x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = g(InceptionB(name="Mixed_6a")(x))
+        x = g(InceptionC(128, name="Mixed_6b")(x))
+        x = g(InceptionC(160, name="Mixed_6c")(x))
+        x = g(InceptionC(160, name="Mixed_6d")(x))
+        x = g(InceptionC(192, name="Mixed_6e")(x))
         self.sow("intermediates", "mixed6", x)
-        x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = g(InceptionD(name="Mixed_7a")(x))
+        x = g(InceptionE(name="Mixed_7b")(x))
+        x = g(InceptionE(name="Mixed_7c")(x))
         self.sow("intermediates", "mixed7", x)
         x = jnp.mean(x, axis=(1, 2))
         if features_only:
