@@ -167,3 +167,39 @@ def test_ghost_inception_attack_constraints():
     adv = x + delta
     assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
     assert np.any(delta != 0)
+
+
+def test_inception_resnet_v2_builds_and_taps():
+    """IncRes-v2 (ghost/DHF surrogate, ``ghost_networks/inc_res_v2.py:251``,
+    ``dhf_networks/inc_res_v2.py:158``): timm-layout param count, ghost
+    residual-skip stochasticity, and DHF feature taps."""
+    from transferattack_tpu.models import make_model
+
+    m = make_model("inc_res", pretrained=False, input_size=128)
+    n = sum(v.size for v in jax.tree.leaves(m.variables["params"]))
+    assert abs(n - 55_843_464) < 1000  # timm inception_resnet_v2: 55.8M
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    assert m.apply(m.variables, x).shape == (1, 1000)
+    _, f = m.feature(m.variables, x, "repeat_1_3")
+    assert f.shape[-1] == 1088
+    gm = make_model("inception_resnet_v2", pretrained=False, input_size=128,
+                    ghost_range=0.16)
+    gm.variables = m.variables
+    l1 = gm.apply(gm.variables, x, rngs={"ghost": jax.random.PRNGKey(0)})
+    l2 = gm.apply(gm.variables, x, rngs={"ghost": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("surrogate", ["inc_v3", "inc_res"])
+def test_ghost_and_dhf_on_inception_family(surrogate):
+    """ghost + dhf accept the reference's inc_v3/inc_res surrogate names
+    (``ghost.py:40``, ``dhf.py:16-22``) and satisfy attack constraints."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (1,)).astype(np.int32)
+    for name in ("ghost", "dhf"):
+        atk = ta.load_attack_class(name)(
+            model_name=surrogate, pretrained=False, input_size=128, epoch=2)
+        delta = np.asarray(atk(x, y))
+        assert np.all(np.abs(delta) <= EPS + 1e-5), f"{name}/{surrogate}"
+        assert np.any(delta != 0), f"{name}/{surrogate}"

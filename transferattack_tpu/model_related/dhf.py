@@ -21,11 +21,25 @@ from ..input_transformation.sim import Admix, SIM
 from ..input_transformation.tim import TIM
 
 def _default_dhf_blocks(model) -> tuple:
-    """Every block of the last two stages (high-level features), derived
-    from the surrogate's own stage sizes so any ResNet depth works."""
-    sizes = getattr(model.module.backbone, "stage_sizes", None)
+    """High-level blocks to diversify, derived from the surrogate itself.
+
+    ResNets: every block of the last two stages (the reference's per-depth
+    lists, ``dhf_networks/resnet.py``).  Inception-v3: the Mixed_6*/7*
+    blocks (block-granular form of ``dhf_networks/inception.py:8-38``).
+    IncRes-v2: the Block17/Block8 repeats (``dhf_networks/inc_res_v2.py``).
+    """
+    backbone = model.module.backbone
+    kind = type(backbone).__name__
+    if kind == "InceptionV3":
+        return ("Mixed_6a", "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                "Mixed_7a", "Mixed_7b", "Mixed_7c")
+    if kind == "InceptionResNetV2":
+        return tuple(f"repeat_1_{i}" for i in range(20)) + tuple(
+            f"repeat_2_{i}" for i in range(9)
+        ) + ("block8", "conv2d_7b")
+    sizes = getattr(backbone, "stage_sizes", None)
     if sizes is None:
-        return ("stage2",)  # non-ResNet surrogates tap the sown stages
+        return ("stage2",)  # other surrogates tap the sown stages
     out = []
     for stage in (3, 4):
         for j in range(sizes[stage - 1]):

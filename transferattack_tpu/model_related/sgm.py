@@ -114,7 +114,13 @@ class GhostNetwork_MIFGSM(MIFGSM):
         kwargs.setdefault("attack", "GhostNetwork_MIFGSM")
         pretrained = kwargs.pop("pretrained", True)
         input_size = kwargs.pop("input_size", None)
-        if "inception" in model_name or model_name == "inc_v3":
+        if "inc_res" in model_name or "inception_resnet" in model_name:
+            # IncRes-v2 ghost: per-channel residual-skip scaling
+            # (``ghost_networks/inc_res_v2.py:133,184,244``)
+            model = make_model("inception_resnet_v2",
+                               ghost_range=float(ghost_random_range),
+                               pretrained=pretrained, input_size=input_size)
+        elif "inception" in model_name or model_name == "inc_v3":
             model = make_model("inception_v3",
                                ghost_keep_prob=float(ghost_keep_prob),
                                pretrained=pretrained, input_size=input_size)

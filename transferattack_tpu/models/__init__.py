@@ -216,6 +216,10 @@ def make_model(
     multi-chip dry-run and fast tests; pretrained weights assume the native
     size).
     """
+    # reference short names used by ghost/DHF (``model_related/dhf.py:16-22``)
+    aliases = {"inc_v3": "inception_v3", "inc_res": "inception_resnet_v2",
+               "inc_res_v2": "inception_resnet_v2"}
+    name = aliases.get(name, name)
     if name not in _MODEL_REGISTRY:
         raise ValueError(f"Unknown model {name!r}; available: {list_models()}")
     builder, size, mean, std = _MODEL_REGISTRY[name]
@@ -300,6 +304,7 @@ from . import resnet  # noqa: E402,F401
 from . import vgg  # noqa: E402,F401
 from . import mobilenet  # noqa: E402,F401
 from . import inception  # noqa: E402,F401
+from . import inception_resnet  # noqa: E402,F401
 from . import densenet  # noqa: E402,F401
 from . import vit  # noqa: E402,F401
 from . import pit  # noqa: E402,F401

@@ -127,28 +127,37 @@ class InceptionV3(nn.Module):
         return x * keep.astype(x.dtype) / self.ghost_keep_prob
 
     @nn.compact
-    def __call__(self, x, features_only: bool = False):
-        g = self._ghost
-        x = g(BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x))
-        x = g(BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x))
-        x = g(BasicConv2d(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x))
+    def __call__(self, x, features_only: bool = False, tap_fns=None):
+        """``tap_fns``: optional dict of pure functions applied to the named
+        block outputs (``Mixed_5b`` … ``Mixed_7c``) in the forward graph —
+        the functional form of the reference's DHF module conversion
+        (``dhf_networks/inception.py:8-38``, at block granularity)."""
+        taps = tap_fns or {}
+
+        def g(name, v):
+            v = self._ghost(v)
+            return taps[name](v) if name in taps else v
+
+        x = g("Conv2d_1a_3x3", BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x))
+        x = g("Conv2d_2a_3x3", BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x))
+        x = g("Conv2d_2b_3x3", BasicConv2d(64, (3, 3), padding=((1, 1), (1, 1)), name="Conv2d_2b_3x3")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = g(BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x))
-        x = g(BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x))
+        x = g("Conv2d_3b_1x1", BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x))
+        x = g("Conv2d_4a_3x3", BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = g(InceptionA(32, name="Mixed_5b")(x))
-        x = g(InceptionA(64, name="Mixed_5c")(x))
-        x = g(InceptionA(64, name="Mixed_5d")(x))
+        x = g("Mixed_5b", InceptionA(32, name="Mixed_5b")(x))
+        x = g("Mixed_5c", InceptionA(64, name="Mixed_5c")(x))
+        x = g("Mixed_5d", InceptionA(64, name="Mixed_5d")(x))
         self.sow("intermediates", "mixed5", x)
-        x = g(InceptionB(name="Mixed_6a")(x))
-        x = g(InceptionC(128, name="Mixed_6b")(x))
-        x = g(InceptionC(160, name="Mixed_6c")(x))
-        x = g(InceptionC(160, name="Mixed_6d")(x))
-        x = g(InceptionC(192, name="Mixed_6e")(x))
+        x = g("Mixed_6a", InceptionB(name="Mixed_6a")(x))
+        x = g("Mixed_6b", InceptionC(128, name="Mixed_6b")(x))
+        x = g("Mixed_6c", InceptionC(160, name="Mixed_6c")(x))
+        x = g("Mixed_6d", InceptionC(160, name="Mixed_6d")(x))
+        x = g("Mixed_6e", InceptionC(192, name="Mixed_6e")(x))
         self.sow("intermediates", "mixed6", x)
-        x = g(InceptionD(name="Mixed_7a")(x))
-        x = g(InceptionE(name="Mixed_7b")(x))
-        x = g(InceptionE(name="Mixed_7c")(x))
+        x = g("Mixed_7a", InceptionD(name="Mixed_7a")(x))
+        x = g("Mixed_7b", InceptionE(name="Mixed_7b")(x))
+        x = g("Mixed_7c", InceptionE(name="Mixed_7c")(x))
         self.sow("intermediates", "mixed7", x)
         x = jnp.mean(x, axis=(1, 2))
         if features_only:
