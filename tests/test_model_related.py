@@ -203,3 +203,28 @@ def test_ghost_and_dhf_on_inception_family(surrogate):
         delta = np.asarray(atk(x, y))
         assert np.all(np.abs(delta) <= EPS + 1e-5), f"{name}/{surrogate}"
         assert np.any(delta != 0), f"{name}/{surrogate}"
+
+
+def test_tgr_on_cait(toy_batch):
+    """TGR's cait branch (``tgr.py:223-230``): talking-heads blocks hooked
+    like ViT; class-attention stage drops q grads, truncates the per-key
+    extreme heads of the (B,h,1,N) attention grad, and truncates k/v."""
+    x, y = toy_batch
+    atk = ta.load_attack_class("tgr")(
+        model_name="cait_s24_224", pretrained=False, input_size=32, epoch=3
+    )
+    delta = np.asarray(atk(x, y % 1000))
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    assert np.any(delta != 0)
+
+
+def test_tgr_cls_attn_truncation_zeroes_extreme_heads():
+    from transferattack_tpu.model_related.vit_attacks import tgr_cls_attn_bwd
+
+    g = jnp.asarray(np.random.RandomState(0).randn(2, 6, 1, 5).astype(np.float32))
+    out = np.asarray(tgr_cls_attn_bwd(g, {}))
+    for b in range(2):
+        for n in range(5):
+            col = np.asarray(g)[b, :, 0, n]
+            assert out[b, col.argmax(), 0, n] == 0
+            assert out[b, col.argmin(), 0, n] == 0

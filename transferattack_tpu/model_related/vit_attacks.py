@@ -63,12 +63,34 @@ TGR_SURGERY = ViTSurgery(
 )
 
 
+def tgr_cls_attn_bwd(g, meta, gamma=0.25):
+    """(B, h, 1, N) class-attention map grad: scale by γ then zero the
+    per-key max/min HEAD (``tgr.py:87-98`` attn_cait_tgr — the truncation
+    axis for CaiT's class attention is the head axis)."""
+    return _zero_token_extremes(gamma * g, axis=1)
+
+
+# CaiT class-attention stage (``tgr.py:223-230``): q grads dropped entirely,
+# k/v and mlp truncated like the main blocks.  The reference's loop skips
+# blocks_token_only[0] (its `block_ind > 24` off-by-one); we hook both
+# class-attention blocks — same semantics, no index gap.
+TGR_CLS_SURGERY = ViTSurgery(
+    attn_bwd=lambda g, m: tgr_cls_attn_bwd(g, m, 0.25),
+    q_bwd=lambda g, m: jnp.zeros_like(g),
+    qkv_bwd=lambda g, m: tgr_token_bwd(g, m, 0.75),
+    mlp_in_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
+)
+
+
 class TGR(MIFGSM):
     """Token gradient regularization (``tgr.py``, CVPR 2023)."""
 
     def __init__(self, model_name="vit_base_patch16_224", **kwargs):
         kwargs.setdefault("attack", "TGR")
-        model = make_model(model_name, surgery=TGR_SURGERY,
+        mkw = {"surgery": TGR_SURGERY}
+        if model_name.startswith("cait"):
+            mkw["cls_surgery"] = TGR_CLS_SURGERY
+        model = make_model(model_name, **mkw,
                            pretrained=kwargs.pop("pretrained", True),
                            input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)

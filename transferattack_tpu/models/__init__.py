@@ -307,6 +307,7 @@ from . import inception  # noqa: E402,F401
 from . import inception_resnet  # noqa: E402,F401
 from . import densenet  # noqa: E402,F401
 from . import vit  # noqa: E402,F401
+from . import cait  # noqa: E402,F401
 from . import pit  # noqa: E402,F401
 from . import swin  # noqa: E402,F401
 from . import visformer  # noqa: E402,F401

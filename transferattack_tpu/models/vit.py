@@ -45,13 +45,15 @@ class ViTSurgery:
     mlp_out_post: Optional[Callable] = None   # forward edit of mlp output
     mlp_in_post: Optional[Callable] = None    # forward edit at the mlp input
     qkv_post: Optional[Callable] = None       # forward edit of the fused qkv
+    q_bwd: Optional[Callable] = None      # grad of a separate q projection
+                                          # (CaiT class-attention, TGR q_tgr)
     skip_attn_grad: bool = False          # PNA: drop grads through attn map
 
     def __hash__(self):
         return hash((id(self.attn_bwd), id(self.qkv_bwd), id(self.mlp_bwd),
                      id(self.mlp_in_bwd), id(self.attn_post), id(self.attn_pre),
                      id(self.attn_out_post), id(self.mlp_out_post),
-                     id(self.mlp_in_post), id(self.qkv_post),
+                     id(self.mlp_in_post), id(self.qkv_post), id(self.q_bwd),
                      self.skip_attn_grad))
 
 
