@@ -139,14 +139,14 @@ def test_ghost_inception_dropout_stochastic_forward():
     two keys give two different ghost networks."""
     from transferattack_tpu.models import make_model
 
-    m = make_model("inception_v3", pretrained=False, input_size=128,
+    m = make_model("inception_v3", pretrained=False, input_size=96,
                    ghost_keep_prob=0.9)
-    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 96, 96, 3), jnp.float32)
     l1 = m.apply(m.variables, x, rngs={"ghost": jax.random.PRNGKey(0)})
     l2 = m.apply(m.variables, x, rngs={"ghost": jax.random.PRNGKey(1)})
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
     # keep_prob=1 (default) is deterministic and needs no rng
-    plain = make_model("inception_v3", pretrained=False, input_size=128)
+    plain = make_model("inception_v3", pretrained=False, input_size=96)
     p1 = plain.apply(plain.variables, x)
     p2 = plain.apply(plain.variables, x)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
@@ -156,11 +156,11 @@ def test_ghost_inception_attack_constraints():
     """`ghost` with an inception surrogate builds the dropout ghost family
     (reference default ``ghost.py:40`` is inc_v3 + keep_prob 0.994)."""
     rng = np.random.RandomState(0)
-    x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    x = rng.rand(1, 96, 96, 3).astype(np.float32)
     y = rng.randint(0, 1000, (1,)).astype(np.int32)
     atk = ta.load_attack_class("ghost")(
         model_name="inception_v3", ghost_keep_prob=0.9, pretrained=False,
-        input_size=128, epoch=2,
+        input_size=96, epoch=2,
     )
     delta = np.asarray(atk(x, y))
     assert np.all(np.abs(delta) <= EPS + 1e-5)
@@ -175,14 +175,14 @@ def test_inception_resnet_v2_builds_and_taps():
     residual-skip stochasticity, and DHF feature taps."""
     from transferattack_tpu.models import make_model
 
-    m = make_model("inc_res", pretrained=False, input_size=128)
+    m = make_model("inc_res", pretrained=False, input_size=96)
     n = sum(v.size for v in jax.tree.leaves(m.variables["params"]))
     assert abs(n - 55_843_464) < 1000  # timm inception_resnet_v2: 55.8M
-    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 96, 96, 3), jnp.float32)
     assert m.apply(m.variables, x).shape == (1, 1000)
     _, f = m.feature(m.variables, x, "repeat_1_3")
     assert f.shape[-1] == 1088
-    gm = make_model("inception_resnet_v2", pretrained=False, input_size=128,
+    gm = make_model("inception_resnet_v2", pretrained=False, input_size=96,
                     ghost_range=0.16)
     gm.variables = m.variables
     l1 = gm.apply(gm.variables, x, rngs={"ghost": jax.random.PRNGKey(0)})
@@ -190,6 +190,7 @@ def test_inception_resnet_v2_builds_and_taps():
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("surrogate", ["inc_v3", "inc_res"])
 def test_ghost_and_dhf_on_inception_family(surrogate):
     """ghost + dhf accept the reference's inc_v3/inc_res surrogate names
