@@ -82,6 +82,46 @@ def test_aa_with_anchor_dataset(tmp_path, toy_batch):
     assert np.any(delta != 0)
 
 
+def test_aa_anchors_not_baked_into_trace(tmp_path, toy_batch):
+    """Regression: per-batch host state (AA anchors) must reach the cached
+    jit as ARGUMENTS — two same-shape batches with different targets must not
+    silently reuse the first batch's anchors (ADVICE r1, aa.py)."""
+    from tests.make_fake_data import make_fake_dataset
+
+    root = make_fake_dataset(str(tmp_path), n=10, size=32, num_classes=10,
+                             targeted=True)
+    x, y = toy_batch
+    import csv
+
+    with open(os.path.join(root, "labels.csv")) as f:
+        rows = list(csv.reader(f))[1:]
+    labels_present = [int(r[1]) - 1 for r in rows]
+    atk = ta.load_attack_class("aa")(
+        model_name="toy_cnn", input_dir=root, layer_name="stage1", targeted=True
+    )
+    t1 = np.asarray(labels_present[:4], np.int32)
+    t2 = np.asarray(labels_present[4:8], np.int32)
+    d1 = np.asarray(atk(x, np.stack([y, t1], axis=1)))
+    d2 = np.asarray(atk(x, np.stack([y, t2], axis=1)))
+    # same inputs+key, different anchors → different feature targets → deltas differ
+    assert not np.allclose(d1, d2), "second batch reused first batch's anchors"
+    # and re-running with the FIRST targets again reproduces d1 exactly
+    d1b = np.asarray(atk(x, np.stack([y, t1], axis=1)))
+    assert np.allclose(d1, d1b)
+
+
+def test_potrip_source_labels_per_batch(toy_batch):
+    """Regression: POTRIP's source labels ride the y argument (ADVICE r1)."""
+    x, y = toy_batch
+    target = (y + 3) % 10
+    atk = ta.load_attack_class("potrip")(model_name="toy_cnn", targeted=True,
+                                         epoch=5)
+    d1 = np.asarray(atk(x, np.stack([y, target], axis=1)))
+    other_src = (y + 5) % 10
+    d2 = np.asarray(atk(x, np.stack([other_src, target], axis=1)))
+    assert not np.allclose(d1, d2), "triplet term ignored per-batch source labels"
+
+
 def test_feature_tap_api(toy_batch):
     """Surrogate.feature must return the same activation the sow records."""
     import jax.numpy as jnp

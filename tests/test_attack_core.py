@@ -98,6 +98,25 @@ def test_l2_norm_constraint(toy_batch):
     assert np.all(norms <= 2.0 + 1e-4)
 
 
+def test_l2_step_is_normalized(toy_batch):
+    """The l2 step must be alpha·(g/||g||₂) per sample (reference
+    attack.py:149-152), i.e. step size independent of raw grad magnitude."""
+    import jax.numpy as jnp
+    from transferattack_tpu.attack import Attack
+
+    atk = ta.load_attack_class("mifgsm")(
+        model_name="toy_cnn", norm="l2", eps=10.0, alpha=0.5
+    )
+    x = jnp.zeros((2, 8, 8, 3))
+    delta = jnp.zeros_like(x)
+    g = jnp.ones_like(x)
+    d1 = Attack.update_delta(atk, delta, x + 0.5, g)        # |g|=1 each
+    d2 = Attack.update_delta(atk, delta, x + 0.5, 1000 * g)  # scaled grad
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    norms = np.linalg.norm(np.asarray(d1).reshape(2, -1), axis=1)
+    np.testing.assert_allclose(norms, 0.5, atol=1e-5)
+
+
 def test_ensemble_model(toy_batch):
     x, y = toy_batch
     atk = ta.load_attack_class("mifgsm")(model_name=["toy_cnn", "toy_cnn2"])

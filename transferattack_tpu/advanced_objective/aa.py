@@ -65,11 +65,16 @@ class AA(Attack):
         label = np.asarray(label)
         assert label.ndim == 2, "AA needs (label, target) pairs (targeted run)"
         tar_label = label[:, 1]
+        # handed to run via host_inputs() → a jit ARGUMENT, so each batch's
+        # anchors reach the compiled trace (never baked in as constants)
         self._tar_data = jnp.asarray(self._anchor_batch(tar_label))
         return super().__call__(data, label, key=key, idx=idx)
 
-    def run(self, variables, x, y, key):
-        _, mid_t = self.model.feature(variables, self._tar_data, self.feature_layer)
+    def host_inputs(self):
+        return self._tar_data
+
+    def run(self, variables, x, y, key, tar_data):
+        _, mid_t = self.model.feature(variables, tar_data, self.feature_layer)
         mid_t = jax.lax.stop_gradient(mid_t)
         state = self.init_state(x, y, key)
 

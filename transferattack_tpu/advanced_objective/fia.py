@@ -21,7 +21,18 @@ from ..models import tap_key
 
 class FIA(Attack):
     """Official args (``fia.py:37``): num_ens=30, feature_layer='layer2',
-    drop_rate=0.3, decay=1."""
+    drop_rate=0.3, decay=1.
+
+    Update rule follows the reference exactly: FIA/FMAA step with the RAW
+    negated gradient each iteration — no momentum accumulation
+    (``fia.py:103-112``, ``fmaa.py:153`` pass ``-grad`` straight to
+    ``update_delta``); RPA accumulates momentum and steps with ``-momentum``
+    (``rpa.py:171-174``); BFA accumulates momentum and steps with
+    ``+momentum`` (``bfa.py:120-123``).  Encoded via ``use_momentum`` /
+    ``step_sign`` class flags."""
+
+    use_momentum = False  # FIA/FMAA: raw grad; RPA/BFA: momentum
+    step_sign = -1.0      # descend (FIA/RPA/FMAA) vs ascend (BFA)
 
     def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
                  decay=1.0, num_ens=30, feature_layer="layer2", drop_rate=0.3,
@@ -92,9 +103,13 @@ class FIA(Attack):
         def body(st, _):
             k, sub = jax.random.split(st.key)
             grad = jax.grad(feature_loss)(st.delta, sub)
-            # descend the weighted feature (``fia.py:103-112`` uses -grad)
-            momentum = self.get_momentum(-grad, st.momentum)
-            delta = self.update_delta(st.delta, x, momentum)
+            if self.use_momentum:
+                momentum = self.get_momentum(grad, st.momentum)
+                direction = self.step_sign * momentum
+            else:
+                momentum = st.momentum
+                direction = self.step_sign * grad
+            delta = self.update_delta(st.delta, x, direction)
             return st.replace(delta=delta, momentum=momentum, key=k,
                               step=st.step + 1), None
 
@@ -105,6 +120,9 @@ class FIA(Attack):
 class RPA(FIA):
     """Random-patch attack (``rpa.py``): FIA weights from patch-masked
     inputs — patches of size 1/3/5/7 randomly kept/scaled."""
+
+    use_momentum = True   # ``rpa.py:170-174``: momentum of +grad, step -momentum
+    step_sign = -1.0
 
     def __init__(self, *args, patch_prob=0.7, attack="RPA", **kwargs):
         kwargs.setdefault("feature_layer", "layer2")
@@ -169,6 +187,9 @@ class FMAA(FIA):
 class BFA(FIA):
     """Black-box feature attack (``bfa.py``): weights estimated at I-FGSM
     adversarial points with mask-gradient dropout."""
+
+    use_momentum = True   # ``bfa.py:119-123``: momentum of grad, step +momentum
+    step_sign = 1.0
 
     def __init__(self, *args, warmup_epoch=5, attack="BFA", **kwargs):
         kwargs.setdefault("feature_layer", "layer2")

@@ -80,9 +80,12 @@ class Logit_Margin(LOGIT):
 
 class POTRIP(LOGIT):
     """Po+Trip (``potrip.py:30-161``): Poincaré-ball distance to the target
-    one-hot plus a cosine triplet pushing away from the source class."""
+    one-hot plus a cosine triplet pushing away from the source class.
 
-    host_state = True  # __call__ does host-side label/anchor prep
+    Needs both labels, so ``prepare_labels`` keeps the full (B, 2)
+    (source, target) column pair and ``get_loss`` splits it — per-batch source
+    labels ride the jit's ``y`` argument instead of ``self`` state (which the
+    cached trace would bake in as first-batch constants)."""
 
     def __init__(self, *args, lamb=0.01, gamma=0.007, attack="POTRIP", **kwargs):
         kwargs["attack"] = attack
@@ -104,26 +107,17 @@ class POTRIP(LOGIT):
             ab / (jnp.sqrt(jnp.sum(a**2, axis=1) * jnp.sum(b**2, axis=1)) + 1e-8)
         )
 
-    def run(self, variables, x, y, key):
-        # needs both source and target labels: y is (B, 2) stacked pairs
-        self._orig_label = None
-        return super().run(variables, x, y, key)
-
-    def __call__(self, data, label, key=None, idx: int = 0):
-        import numpy as np
-
-        label = np.asarray(label)
-        if label.ndim == 2:
-            self._src_label = jnp.asarray(label[:, 0])
-        else:
-            self._src_label = jnp.asarray(label)
-        return super().__call__(data, label, key=key, idx=idx)
+    def prepare_labels(self, label):
+        y = jnp.asarray(label)
+        if y.ndim == 1:  # untargeted/test calls: source doubles as target
+            y = jnp.stack([y, y], axis=1)
+        return y
 
     def get_loss(self, logits, y):
         lg = logits.reshape((-1,) + logits.shape[2:])
         n = lg.shape[0] // y.shape[0]
-        yb = jnp.tile(y, n)
-        src = jnp.tile(self._src_label, n)
+        yb = jnp.tile(y[:, 1], n)
+        src = jnp.tile(y[:, 0], n)
         C = lg.shape[-1]
         y_tar = jax.nn.one_hot(yb, C, dtype=lg.dtype)
         y_src = jax.nn.one_hot(src, C, dtype=lg.dtype)

@@ -17,7 +17,14 @@ from .fia import FIA
 
 
 class NAA(FIA):
-    """Official args (``naa.py:30``): feature_layer='layer1', N=30."""
+    """Official args (``naa.py:30``): feature_layer='layer1', N=30.
+
+    Like FIA, the reference steps with the RAW negated gradient each
+    iteration (``naa.py:100-110`` passes ``-grad`` to ``update_delta``) —
+    no momentum accumulation; only DANAA uses momentum."""
+
+    use_momentum = False
+    step_sign = -1.0
 
     def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
                  decay=1.0, N=30, feature_layer="layer1", targeted=False,
@@ -49,18 +56,27 @@ class NAA(FIA):
 
         def attr_loss(delta):
             _, feat = self.model.feature(variables, x + delta, self.feature_layer)
-            return jnp.sum((feat - y_prime) * agg_grad)
+            return self.attribution_loss(feat, y_prime, agg_grad)
 
         def body(st, _):
             k, _sub = jax.random.split(st.key)
             grad = jax.grad(attr_loss)(st.delta)
-            momentum = self.get_momentum(-grad, st.momentum)
-            delta = self.update_delta(st.delta, x, momentum)
+            if self.use_momentum:
+                momentum = self.get_momentum(grad, st.momentum)
+                direction = self.step_sign * momentum
+            else:
+                momentum = st.momentum
+                direction = self.step_sign * grad
+            delta = self.update_delta(st.delta, x, direction)
             return st.replace(delta=delta, momentum=momentum, key=k,
                               step=st.step + 1), None
 
         state, _ = jax.lax.scan(body, state, None, length=self.epoch)
         return self.finalize(state, x, y)
+
+    def attribution_loss(self, feat, y_prime, agg_grad):
+        """NAA objective (``naa.py:102``): Σ (feat − baseline)·agg."""
+        return jnp.sum((feat - y_prime) * agg_grad)
 
     def aggregate_grad(self, variables, x, y, key):
         keys = jax.random.split(key, self.N)
@@ -80,12 +96,26 @@ class NAA(FIA):
 
 class DANAA(NAA):
     """DANAA (``danaa.py``): adversarial non-linear path — each sample point
-    steps along its own feature-gradient sign before probing."""
+    steps along its own feature-gradient sign before probing.  Unlike
+    FIA/NAA, DANAA DOES accumulate momentum and steps with ``+momentum``
+    (``danaa.py:144-148``), over the balanced attribution mean
+    (``danaa.py:63-80``, gamma=1)."""
 
-    def __init__(self, *args, scale_inv=0.6, attack="DANAA", **kwargs):
+    use_momentum = True
+    step_sign = 1.0
+
+    def __init__(self, *args, scale_inv=0.6, gamma=1.0, attack="DANAA", **kwargs):
         kwargs["attack"] = attack
         super().__init__(*args, **kwargs)
         self.scale_inv = float(scale_inv)
+        self.gamma = float(gamma)
+
+    def attribution_loss(self, feat, y_prime, agg_grad):
+        attribution = (feat - y_prime) * agg_grad
+        balanced = jnp.where(attribution >= 0, attribution,
+                             self.gamma * attribution)
+        loss = jnp.mean(balanced)
+        return -loss if self.targeted else loss
 
     def aggregate_grad(self, variables, x, y, key):
         keys = jax.random.split(key, self.N)

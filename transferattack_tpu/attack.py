@@ -306,7 +306,13 @@ class Attack:
                 delta + self.alpha * jnp.sign(grad_dir), -self.eps, self.eps
             )
         else:
-            d = delta + self.alpha * grad_dir
+            # per-sample L2-normalized step then eps-ball renorm projection
+            # (reference attack.py:149-152: grad / ||grad||_2 before alpha)
+            gflat = grad_dir.reshape(grad_dir.shape[0], -1)
+            gn = jnp.linalg.norm(gflat, axis=1).reshape(
+                (-1,) + (1,) * (grad_dir.ndim - 1)
+            )
+            d = delta + self.alpha * grad_dir / (gn + 1e-20)
             flat = d.reshape(d.shape[0], -1)
             n = jnp.linalg.norm(flat, axis=1).reshape((-1,) + (1,) * (d.ndim - 1))
             scale = jnp.minimum(1.0, self.eps / (n + 1e-12))
@@ -353,6 +359,15 @@ class Attack:
         """Final projection; returns delta (reference returns ``delta.detach()``)."""
         return jnp.clip(x + state.delta, img_min, img_max) - x
 
+    def host_inputs(self):
+        """Per-batch arrays prepared host-side in ``__call__`` and consumed by
+        ``run`` (e.g. AA's anchor batch).  Attacks returning non-None must
+        accept the extra trailing positional argument in ``run``.  Passing
+        them as jit *arguments* keeps per-batch values out of the compiled
+        trace — reading them from ``self`` inside ``run`` would bake the first
+        batch's values in as constants."""
+        return None
+
     def __call__(self, data, label, key: Optional[Array] = None, idx: int = 0):
         """NumPy-friendly entry point used by the CLI driver.
 
@@ -364,7 +379,10 @@ class Attack:
         y = self.prepare_labels(label)
         if self._jitted_run is None:
             self._jitted_run = jax.jit(self.run)
-        return self._jitted_run(self.model.variables, x, y, key)
+        host = self.host_inputs()
+        if host is None:
+            return self._jitted_run(self.model.variables, x, y, key)
+        return self._jitted_run(self.model.variables, x, y, key, host)
 
     def prepare_labels(self, label):
         """Targeted batches carry (ground-truth, target) pairs; attack the

@@ -65,7 +65,7 @@ def pallas_enabled() -> bool:
     if os.environ.get("TA_TPU_PALLAS", "0") != "1":
         return False
     try:
-        return jax.default_backend() not in ("cpu",) or True
+        return jax.default_backend() != "cpu"
     except Exception:
         return False
 
