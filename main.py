@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 import transferattack_tpu as ta
+from transferattack_tpu.config import build_attack
 from transferattack_tpu.models import make_model
 from transferattack_tpu.parallel import ShardedAttackRunner, make_mesh
 from transferattack_tpu.utils import (
@@ -33,17 +34,32 @@ from transferattack_tpu.utils import (
 GENERATION_TARGETED = ("ttp", "m3d", "rfcoa", "aim")
 
 
+def parse_fraction(s: str) -> float:
+    """Accept '16/255' (the protocol's natural notation) or a plain float."""
+    if "/" in s:
+        num, den = s.split("/", 1)
+        return float(num) / float(den)
+    return float(s)
+
+
 def get_parser():
     # flag surface mirrors the reference CLI (``main.py:10-26``); --GPU_ID is
     # accepted for script parity but ignored (device selection is JAX's)
     p = argparse.ArgumentParser(description="TPU-native TransferAttack")
     p.add_argument("-e", "--eval", action="store_true", help="attack/evaluation")
     p.add_argument("--attack", default="mifgsm", type=str)
-    p.add_argument("--epoch", default=10, type=int)
+    # hyperparameter flags default to None = "use the attack's official
+    # defaults"; explicit values override them (the reference parses these
+    # but never forwards them, main.py:41 — SURVEY §5 said fix, not replicate)
+    p.add_argument("--epoch", default=None, type=int,
+                   help="override the attack's official iteration count")
     p.add_argument("--batchsize", default=32, type=int)
-    p.add_argument("--eps", default=16 / 255, type=float)
-    p.add_argument("--alpha", default=1.6 / 255, type=float)
-    p.add_argument("--momentum", default=0.0, type=float)
+    p.add_argument("--eps", default=None, type=parse_fraction,
+                   help="override epsilon (accepts 16/255 or 0.0627)")
+    p.add_argument("--alpha", default=None, type=parse_fraction,
+                   help="override step size (accepts 1.6/255 or float)")
+    p.add_argument("--momentum", default=None, type=float,
+                   help="override the momentum decay factor")
     p.add_argument("--model", default="resnet50", type=str)
     p.add_argument("--ensemble", action="store_true")
     p.add_argument("--input_dir", default="./data", type=str)
@@ -67,8 +83,11 @@ def run_attack(args) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     model = args.model.split(",") if (args.ensemble or "," in args.model) else args.model
     kwargs = {"compute_dtype": "bfloat16"} if args.bf16 else {}
-    attacker = ta.load_attack_class(args.attack)(
-        model_name=model, targeted=args.targeted, **kwargs
+    attacker = build_attack(
+        args.attack, model_name=model, targeted=args.targeted,
+        overrides={"epoch": args.epoch, "eps": args.eps, "alpha": args.alpha,
+                   "momentum": args.momentum},
+        **kwargs,
     )
     if attacker.requires_batchsize is not None:
         args.batchsize = attacker.requires_batchsize
