@@ -139,6 +139,20 @@ def run_attack(args) -> None:
     if n_done:
         print(f"[{args.attack}] {n_done} images in {dt:.1f}s "
               f"({n_done / dt:.1f} img/s end-to-end incl. IO+compile)")
+    # machine-readable record of any random-init stand-ins that ran
+    # (VERDICT r1: fallbacks must not be silent)
+    from transferattack_tpu.utils.weights_manifest import fallback_weights_used
+
+    fallbacks = fallback_weights_used()
+    import json
+
+    with open(os.path.join(args.output_dir, "attack_meta.json"), "w") as f:
+        json.dump({"attack": args.attack, "model": args.model,
+                   "targeted": bool(args.targeted), "n_images": n_done,
+                   "fallback_weights_used": fallbacks}, f, indent=1)
+    if fallbacks:
+        print(f"[{args.attack}] WARNING: random-init fallbacks ran for: "
+              f"{', '.join(fallbacks)} (outputs are not paper-comparable)")
 
 
 def evaluate_model(surrogate, dataset, batchsize: int, is_targeted: bool) -> float:
@@ -194,9 +208,14 @@ def run_eval(args) -> None:
             asr = evaluate_model(surrogate, ds, args.batchsize, args.targeted)
         print(f"{name}: {asr:.1f}")
         res += f" {asr:.1f} |"
+        from transferattack_tpu.utils.weights_manifest import (
+            fallback_weights_used,
+        )
+
         records.append({"output_dir": args.output_dir, "attack": args.attack,
                         "eval_model": name, "asr": round(asr, 2),
-                        "targeted": bool(args.targeted)})
+                        "targeted": bool(args.targeted),
+                        "fallback_weights_used": fallback_weights_used()})
     print(res)
     # reference-compatible markdown row (``main.py:75-77``) + structured
     # JSON records for programmatic consumers (SURVEY.md §5 observability)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..models import load_npz_variables
+from ..utils.weights_manifest import record_fallback
 
 
 def _conv(ch, name):
@@ -71,6 +72,7 @@ def load_purifier(nb: int = 23, ckpt: str = "nrp"):
     if os.path.exists(path):
         variables = load_npz_variables(path)
     else:
+        record_fallback("nrp")
         warnings.warn(f"NRP: purifier checkpoint {path} missing; random init.")
         variables = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))
     return net, variables

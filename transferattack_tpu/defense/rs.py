@@ -18,6 +18,7 @@ import numpy as np
 from scipy.stats import binomtest
 
 from ..models import load_npz_variables, make_model
+from ..utils.weights_manifest import record_fallback
 
 
 class Smooth:
@@ -121,6 +122,7 @@ def run_rs(input_dir: str, output_dir: str, batchsize: int = 16,
     if os.path.exists(path):
         surrogate.variables = load_npz_variables(path)
     else:
+        record_fallback("rs_resnet50_sigma050")
         warnings.warn(f"RS: noise-trained checkpoint {path} missing; "
                       "base weights used.")
     smooth = Smooth(surrogate, sigma=sigma)

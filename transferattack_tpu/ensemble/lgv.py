@@ -20,6 +20,7 @@ from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
 from ..input_transformation.dim import random_resize_pad
 from ..models import load_npz_variables, make_model
+from ..utils.weights_manifest import record_fallback
 from ..ops import gaussian_kernel, smooth_conv
 
 
@@ -47,6 +48,7 @@ class LGV(MIFGSM):
         if sets:
             self._param_sets = [s["params"] for s in sets]
         else:
+            record_fallback(ckpt_prefix)
             warnings.warn(
                 f"LGV: no {ckpt_prefix}_*.npz weight sets found; sampling "
                 "gaussian-jittered base weights instead (convert the official "
@@ -109,6 +111,7 @@ class SASD_WS(MIFGSM):
         if os.path.exists(path):
             model.variables = load_npz_variables(path)
         else:
+            record_fallback(ckpt_name)
             warnings.warn(f"SASD_WS: checkpoint {path} not found; base weights used.")
         super().__init__(model, epoch=epoch, eps=eps, alpha=alpha, decay=decay,
                          targeted=targeted, random_start=random_start, norm=norm,

@@ -24,6 +24,7 @@ from flax import linen as nn
 from ..attack import softmax_cross_entropy
 from ..utils import generation_target_classes
 from .ens import _MultiModelAttack
+from ..utils.weights_manifest import record_fallback
 
 VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
              512, 512, 512, "M", 512, 512, 512, "M"]
@@ -118,6 +119,7 @@ class RFCoA(_MultiModelAttack):
             self.enc_vars = {"params": packed["params"]["encoder"]}
             self.dec_vars = {"params": packed["params"]["decoder"]}
         else:
+            record_fallback("rfcoa_autoencoder")
             warnings.warn("RFCoA: rfcoa_autoencoder.npz not found; random AE.")
         self._feat_root = root
 
@@ -126,6 +128,7 @@ class RFCoA(_MultiModelAttack):
         path = os.path.join(self._feat_root, f"rfcoa_{cls}.npz")
         if os.path.exists(path):
             return jnp.asarray(np.load(path)["array"])
+        record_fallback(path)
         warnings.warn(f"RFCoA: {path} missing; using random robust feature.")
         return jax.random.normal(jax.random.PRNGKey(cls), z_shape)
 

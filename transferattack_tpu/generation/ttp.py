@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import load_npz_variables
+from ..utils.weights_manifest import record_fallback
 from ..ops import smooth_conv
 from ..utils import generation_target_classes
 from .generators import GeneratorResnet, UNetGenerator
@@ -66,6 +67,7 @@ class GenerativeAttack:
         if os.path.exists(path):
             variables = load_npz_variables(path)
         else:
+            record_fallback(self.ckpt_prefix)
             warnings.warn(
                 f"{self.attack}: generator checkpoint {path} not found; "
                 "random-init generator used (convert the official weights "
@@ -163,6 +165,7 @@ class ADA(GenerativeAttack):
         if os.path.exists(path):
             variables = load_npz_variables(path)
         else:
+            record_fallback(self.ckpt_prefix)
             warnings.warn(f"{self.attack}: {path} not found; random generator.")
             rng = jax.random.PRNGKey(self.seed + 131)
             z = jnp.zeros((1, self.latent_dim))

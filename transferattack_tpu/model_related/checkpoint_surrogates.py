@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
 from ..models import load_npz_variables, make_model
+from ..utils.weights_manifest import record_fallback
 
 
 class CheckpointSurrogateAttack(MIFGSM):
@@ -44,6 +45,7 @@ class CheckpointSurrogateAttack(MIFGSM):
         if self.ckpt_name and os.path.exists(path):
             model.variables = load_npz_variables(path)
         elif self.ckpt_name:
+            record_fallback(self.ckpt_name)
             warnings.warn(
                 f"{type(self).__name__}: checkpoint {path} not found; "
                 "running with base weights (convert the official .pth via "

@@ -75,9 +75,10 @@ _REWRITES = [
     (re.compile(r"^features/(transition\d+)"), r"\1"),
     (re.compile(r"^features/(conv0|norm0|norm5)"), r"\1"),
     # MobileNetV2 ConvBNReLU Sequentials: features.0.{0,1} and the per-block
-    # conv.{k}.{0,1} pairs become named conv/bn children
-    (re.compile(r"^(features_\d+)_0(?=/)"), r"\1/conv"),
-    (re.compile(r"^(features_\d+)_1(?=/)"), r"\1/bn"),
+    # conv.{k}.{0,1} pairs become named conv/bn children (prefix-tolerant so
+    # nested backbones like AITL's predictor convert too)
+    (re.compile(r"(^|/)(features_\d+)_0(?=/)"), r"\1\2/conv"),
+    (re.compile(r"(^|/)(features_\d+)_1(?=/)"), r"\1\2/bn"),
     (re.compile(r"(conv_\d+)_0(?=/)"), r"\1/conv"),
     (re.compile(r"(conv_\d+)_1(?=/)"), r"\1/bn"),
 ]
@@ -101,6 +102,9 @@ def convert_tensor(path: str, arr: np.ndarray, is_bn: bool):
     if leaf == "weight":
         if arr.ndim == 4:  # conv OIHW → HWIO
             return "params", "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            # Conv1d with kernel 1 (guided-diffusion qkv/proj_out) ≡ Dense
+            return "params", "kernel", arr[:, :, 0].T
         if arr.ndim == 2:  # linear
             return "params", "kernel", arr.T
         # 1-D weight outside BN → LayerNorm scale
@@ -223,7 +227,51 @@ def convert_and_save(name: str, state_dict_path: str, out_dir: str = None) -> st
     return path
 
 
+def convert_all(download_dir: str) -> None:
+    """Scan a directory of downloaded originals, convert every recognizable
+    file per the manifest, and print a per-family status table."""
+    import glob
+
+    from .weights_manifest import MANIFEST, print_inventory
+
+    by_source = {}
+    for art in MANIFEST:
+        base = art.source.split(" ")[0].split("/")[-1]
+        by_source[base] = art
+    converted, skipped = [], []
+    for path in sorted(glob.glob(os.path.join(download_dir, "**", "*"),
+                                 recursive=True)):
+        base = os.path.basename(path)
+        art = by_source.get(base)
+        if art is None or not os.path.isfile(path):
+            continue
+        try:
+            if art.npz.startswith("hgd_"):
+                from ..defense.at import convert_hgd
+
+                model = art.npz[len("hgd_"):]
+                out = convert_hgd(path, model)
+            else:
+                out = convert_and_save(art.npz, path)
+            converted.append((art.npz, out))
+        except Exception as exc:  # keep going; report at the end
+            skipped.append((art.npz, str(exc)))
+    print(f"converted {len(converted)} artifacts:")
+    for name, out in converted:
+        print(f"  ✓ {name} → {out}")
+    for name, err in skipped:
+        print(f"  ✗ {name}: {err}")
+    print_inventory()
+
+
 if __name__ == "__main__":
     import sys
 
-    print(convert_and_save(sys.argv[1], sys.argv[2]))
+    if "--list" in sys.argv:
+        from .weights_manifest import print_inventory
+
+        print_inventory()
+    elif "--all" in sys.argv:
+        convert_all(sys.argv[sys.argv.index("--all") + 1])
+    else:
+        print(convert_and_save(sys.argv[1], sys.argv[2]))
