@@ -18,23 +18,37 @@ from ..gradient.mifgsm import MIFGSM, NIFGSM
 from ..models import make_model
 from ..models.resnet import SurgeryConfig
 
-# global block index of each ResNet-50 stage start (3/4/6/3 blocks)
-_RN50_STAGE_START = {1: 0, 2: 3, 3: 7, 4: 13}
+# per-architecture stage sizes for layer-spec → global block index
+_STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
 
 
 def _block_index(layer_spec: str, arch: str = "resnet50") -> int:
     """'3_1' → global block index 8 on ResNet-50 (``linbp.py:35``)."""
     stage, blk = (int(v) for v in layer_spec.split("_"))
-    return _RN50_STAGE_START[stage] + blk
+    sizes = _STAGE_SIZES.get(arch, (3, 4, 6, 3))
+    return sum(sizes[: stage - 1]) + blk
 
 
 class SGM(MIFGSM):
-    """Skip gradient method (``sgm.py:9-97``): γ^0.5 per inner ReLU on
-    Bottleneck architectures, γ on BasicBlock ones."""
+    """Skip gradient method (``sgm.py:9-97``).
+
+    Faithful to the reference hooks *as registered* (``sgm.py:67-84``):
+    γ (γ^0.5 on Bottleneck/DenseNet archs) scales the backward of the inner
+    ReLUs of every block except the first block of each stage ('0.relu' name
+    exclusion) plus the stem ReLU, and every block output's gradient is
+    std-normalized (the ``backward_hook_norm`` block hook).  See
+    ``models/resnet.py`` ``std_norm_relu``/``_inner_act``.
+    """
 
     def __init__(self, model_name="resnet50", gamma=0.2, **kwargs):
-        bottleneck = any(k in model_name for k in ("resnet50", "resnet101", "resnet152"))
-        eff = gamma**0.5 if bottleneck else gamma
+        sqrt_archs = ("resnet50", "resnet101", "resnet152", "densenet")
+        eff = gamma**0.5 if any(k in model_name for k in sqrt_archs) else gamma
         kwargs.setdefault("attack", "SGM")
         surgery = SurgeryConfig(gamma=eff)
         model = make_model(model_name, surgery=surgery,
@@ -50,7 +64,7 @@ class LinBP(MIFGSM):
 
     def __init__(self, model_name="resnet50", linbp_layer="3_1", **kwargs):
         kwargs.setdefault("attack", "LinBP")
-        surgery = SurgeryConfig(linbp_start=_block_index(linbp_layer))
+        surgery = SurgeryConfig(linbp_start=_block_index(linbp_layer, model_name))
         model = make_model(model_name, surgery=surgery,
                            pretrained=kwargs.pop("pretrained", True),
                            input_size=kwargs.pop("input_size", None))
@@ -92,7 +106,7 @@ class BPA(MIFGSM):
             raise ValueError("BPA currently supports ResNet only")
         kwargs.setdefault("attack", "BPA")
         surgery = SurgeryConfig(
-            bpa_start=_block_index(bpa_layer), bpa_maxpool=True
+            bpa_start=_block_index(bpa_layer, model_name), bpa_maxpool=True
         )
         model = make_model(model_name, surgery=surgery,
                            pretrained=kwargs.pop("pretrained", True),

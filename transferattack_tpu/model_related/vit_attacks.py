@@ -32,8 +32,10 @@ def _zero_token_extremes(g, axis):
 
 
 def tgr_attn_bwd(g, meta, gamma=0.25):
-    """(B, h, N, N): scale by γ then zero the whole row+column of the per-head
-    max and min entries (``tgr.py:49-75``)."""
+    """(B, h, N, N) PRE-softmax score cotangent: scale by γ then zero the whole
+    row+column of the per-head max and min entries (``tgr.py:53-85``; the
+    reference's attn_drop hook lands on the softmax-input node because
+    eval-mode Dropout is an identity)."""
     g = gamma * g
     B, H, N, _ = g.shape
     flat = g.reshape(B, H, N * N)
@@ -51,15 +53,17 @@ def tgr_attn_bwd(g, meta, gamma=0.25):
 
 
 def tgr_token_bwd(g, meta, gamma):
-    """(B, N, C): scale by γ then zero per-channel extreme tokens
-    (``tgr.py:84-123`` v_tgr / mlp_tgr)."""
+    """(B, N, C) output cotangent of the qkv/mlp projection: scale by γ then
+    zero per-channel extreme tokens (``tgr.py:107-194`` v_tgr / mlp_tgr; a
+    legacy module hook on a Linear/Mlp lands on the output node, so the
+    modified tensor is the OUTPUT cotangent)."""
     return _zero_token_extremes(gamma * g, axis=1)
 
 
 TGR_SURGERY = ViTSurgery(
-    attn_bwd=lambda g, m: tgr_attn_bwd(g, m, 0.25),
+    scores_bwd=lambda g, m: tgr_attn_bwd(g, m, 0.25),
     qkv_bwd=lambda g, m: tgr_token_bwd(g, m, 0.75),
-    mlp_in_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
+    mlp_out_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
 )
 
 
@@ -75,10 +79,10 @@ def tgr_cls_attn_bwd(g, meta, gamma=0.25):
 # blocks_token_only[0] (its `block_ind > 24` off-by-one); we hook both
 # class-attention blocks — same semantics, no index gap.
 TGR_CLS_SURGERY = ViTSurgery(
-    attn_bwd=lambda g, m: tgr_cls_attn_bwd(g, m, 0.25),
+    scores_bwd=lambda g, m: tgr_cls_attn_bwd(g, m, 0.25),
     q_bwd=lambda g, m: jnp.zeros_like(g),
     qkv_bwd=lambda g, m: tgr_token_bwd(g, m, 0.75),
-    mlp_in_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
+    mlp_out_bwd=lambda g, m: tgr_token_bwd(g, m, 0.5),
 )
 
 

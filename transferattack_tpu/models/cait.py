@@ -52,7 +52,10 @@ class TalkingHeadAttn(nn.Module):
         attn = q @ k.transpose(0, 1, 3, 2)  # (B, h, N, N)
         # talking heads: mix the head axis before and after softmax
         attn = nn.Dense(h, name="proj_l")(attn.transpose(0, 2, 3, 1))
-        attn = jax.nn.softmax(attn.transpose(0, 3, 1, 2), axis=-1)
+        attn = attn.transpose(0, 3, 1, 2)
+        # the reference's attn_drop hook lands on the softmax-input cotangent
+        attn = apply_bwd_hook(attn, s.scores_bwd, meta)
+        attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dense(h, name="proj_w")(attn.transpose(0, 2, 3, 1))
         attn = attn.transpose(0, 3, 1, 2)
         if s.attn_post is not None:
@@ -93,7 +96,9 @@ class ClassAttn(nn.Module):
         k = k.reshape(B, N, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, h, head_dim).transpose(0, 2, 1, 3)
 
-        attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2), axis=-1)  # (B,h,1,N)
+        scores = q @ k.transpose(0, 1, 3, 2)  # (B, h, 1, N)
+        scores = apply_bwd_hook(scores, s.scores_bwd, meta)
+        attn = jax.nn.softmax(scores, axis=-1)
         if s.skip_attn_grad:
             attn = jax.lax.stop_gradient(attn)
         else:

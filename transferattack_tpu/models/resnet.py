@@ -53,11 +53,41 @@ scaled_grad_relu.defvjp(_sgr_fwd, _sgr_bwd)
 
 @jax.custom_vjp
 def linbp_relu(x):
-    """ReLU forward, identity backward (LinBP, ``model_related/linbp.py:78-177``)."""
+    """ReLU forward, identity backward (LinBP, ``model_related/linbp.py:158-161``:
+    ``x + relu(-x).detach()``)."""
     return jax.nn.relu(x)
 
 
 linbp_relu.defvjp(lambda x: (jax.nn.relu(x), None), lambda _, g: (g,))
+
+
+@jax.custom_vjp
+def std_norm_relu(x):
+    """ReLU whose backward divides the (masked) gradient by its global std.
+
+    The reference SGM registers ``backward_hook_norm`` on every residual
+    block (``model_related/sgm.py:58-64,83-84``); with PyTorch's legacy
+    module-hook semantics that hook lands on the block's final post-add ReLU
+    node, so the gradient leaving each block is ``g·mask / std(g·mask)``
+    (the γ hook on the same node cancels inside the std).  ``torch.std``
+    is unbiased over all elements, batch included.
+    """
+    return jax.nn.relu(x)
+
+
+def _stdnr_fwd(x):
+    return jax.nn.relu(x), x
+
+
+def _stdnr_bwd(x, g):
+    v = g * (x > 0).astype(g.dtype)
+    n = v.size
+    mean = jnp.mean(v)
+    var = jnp.sum((v - mean) ** 2) / max(n - 1, 1)
+    return (v / jnp.sqrt(var + 1e-30),)
+
+
+std_norm_relu.defvjp(_stdnr_fwd, _stdnr_bwd)
 
 
 @jax.custom_vjp
@@ -194,6 +224,79 @@ class SurgeryConfig:
 DEFAULT_SURGERY = SurgeryConfig()
 
 
+def decay_relu(x, gamma):
+    """LLTA's DecayReLU (``llta_networks/models/decayrelu.py``): ReLU
+    forward, backward scaled per-sample by γ — the straight-through rewrite
+    ``r·γ + sg(r·(1−γ))`` of the reference's ``x·γ − sg(x)·γ + sg(x)``."""
+    r = jax.nn.relu(x)
+    g = gamma.reshape((-1,) + (1,) * (x.ndim - 1))
+    return r * g + jax.lax.stop_gradient(r * (1.0 - g))
+
+
+def _inner_act(x, s: SurgeryConfig, block_index: int, stage_first: bool,
+               mode: str = "surgery"):
+    """Activation on the residual main branch (the reference's inner ReLUs)."""
+    if mode == "masked":
+        return jax.nn.relu(x)
+    if mode == "linear":
+        return linbp_relu(x)
+    if block_index >= s.bpa_start:
+        return relu_silu(x)
+    if s.softplus_beta is not None:
+        return jax.nn.softplus(s.softplus_beta * x) / s.softplus_beta
+    if s.gamma != 1.0 and not stage_first:
+        # SGM hooks every 'relu' module EXCEPT names containing '0.relu'
+        # (``sgm.py:78-80``) — i.e. the first block of each stage keeps
+        # plain ReLU backward.
+        return scaled_grad_relu(x, s.gamma)
+    return jax.nn.relu(x)
+
+
+def _final_act(x, s: SurgeryConfig, block_index: int):
+    """Activation after the residual add (the block's output ReLU)."""
+    if block_index >= s.linbp_start:
+        # the reference keeps the post-add ReLU masked (``linbp.py:152-153``)
+        return jax.nn.relu(x)
+    if block_index >= s.bpa_start:
+        return relu_silu(x)
+    if s.softplus_beta is not None:
+        return jax.nn.softplus(s.softplus_beta * x) / s.softplus_beta
+    if s.gamma != 1.0:
+        # SGM's block-level norm hook (see std_norm_relu docstring)
+        return std_norm_relu(x)
+    return jax.nn.relu(x)
+
+
+def _linbp_block_main(mdl: nn.Module, x):
+    """Main branch of a LinBP-active block with the reference's backward.
+
+    ``linbp_backw_resnet50`` (``linbp.py:163-177``) propagates the *linear*
+    (identity-ReLU) gradient through the main branch but rescales it
+    per-sample to the L2 norm of the *masked* (normal-ReLU) gradient:
+    ``main_grad_norm = xp · (‖g_masked‖₂/‖g_linear‖₂) · g_linear`` (xp=1).
+    The skip branch passes through untouched.
+    """
+
+    def f(m, v):
+        return m._main(v, "masked")
+
+    def fwd(m, v):
+        y, vjp_masked = nn.vjp(lambda mm, u: mm._main(u, "masked"), m, v)
+        _, vjp_linear = nn.vjp(lambda mm, u: mm._main(u, "linear"), m, v)
+        return y, (vjp_masked, vjp_linear)
+
+    def bwd(res, g):
+        vjp_masked, vjp_linear = res
+        params_t, gm = vjp_masked(g)
+        _, gl = vjp_linear(g)
+        nm = jnp.linalg.norm(gm.reshape(gm.shape[0], -1), axis=1)
+        nl = jnp.linalg.norm(gl.reshape(gl.shape[0], -1), axis=1)
+        scale = (nm / (nl + 1e-20)).reshape((-1,) + (1,) * (gl.ndim - 1))
+        return params_t, gl * scale
+
+    return nn.custom_vjp(f, forward_fn=fwd, backward_fn=bwd)(mdl, x)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -201,22 +304,36 @@ class BasicBlock(nn.Module):
     surgery: SurgeryConfig = DEFAULT_SURGERY
     block_index: int = 0
     stage_index: int = 0
+    stage_first: bool = False
     expansion: int = 1
 
-    @nn.compact
-    def __call__(self, x):
-        s = self.surgery
-        identity = x
-        out = conv(self.planes, 3, self.stride, name="conv1")(x)
-        out = bn("bn1")(out)
-        out = _act(out, s, self.block_index)
-        out = conv(self.planes, 3, 1, name="conv2")(out)
-        out = bn("bn2")(out)
+    def setup(self):
+        self.conv1 = conv(self.planes, 3, self.stride)
+        self.bn1 = bn(None)
+        self.conv2 = conv(self.planes, 3, 1)
+        self.bn2 = bn(None)
         if self.downsample:
-            identity = conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            identity = bn("downsample_bn")(identity)
+            self.downsample_conv = conv(self.planes, 1, self.stride)
+            self.downsample_bn = bn(None)
+
+    def _main(self, x, mode: str = "surgery", gamma=None):
+        s = self.surgery
+        out = self.bn1(self.conv1(x))
+        out = (decay_relu(out, gamma) if gamma is not None
+               else _inner_act(out, s, self.block_index, self.stage_first, mode))
+        return self.bn2(self.conv2(out))
+
+    def __call__(self, x, gamma=None):
+        s = self.surgery
+        if self.block_index >= s.linbp_start:
+            out = _linbp_block_main(self, x)
+        else:
+            out = self._main(x, gamma=gamma)
+        identity = x
+        if self.downsample:
+            identity = self.downsample_bn(self.downsample_conv(x))
         out = _merge(out, identity, self, s, self.stage_index)
-        return _act(out, s, self.block_index)
+        return _final_act(out, s, self.block_index)
 
 
 class Bottleneck(nn.Module):
@@ -228,38 +345,42 @@ class Bottleneck(nn.Module):
     surgery: SurgeryConfig = DEFAULT_SURGERY
     block_index: int = 0
     stage_index: int = 0
+    stage_first: bool = False
     expansion: int = 4
 
-    @nn.compact
-    def __call__(self, x):
-        s = self.surgery
+    def setup(self):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
-        identity = x
-        out = conv(width, 1, 1, name="conv1")(x)
-        out = bn("bn1")(out)
-        out = _act(out, s, self.block_index)
-        out = conv(width, 3, self.stride, groups=self.groups, name="conv2")(out)
-        out = bn("bn2")(out)
-        out = _act(out, s, self.block_index)
-        out = conv(self.planes * 4, 1, 1, name="conv3")(out)
-        out = bn("bn3")(out)
+        self.conv1 = conv(width, 1, 1)
+        self.bn1 = bn(None)
+        self.conv2 = conv(width, 3, self.stride, groups=self.groups)
+        self.bn2 = bn(None)
+        self.conv3 = conv(self.planes * 4, 1, 1)
+        self.bn3 = bn(None)
         if self.downsample:
-            identity = conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
-            identity = bn("downsample_bn")(identity)
+            self.downsample_conv = conv(self.planes * 4, 1, self.stride)
+            self.downsample_bn = bn(None)
+
+    def _main(self, x, mode: str = "surgery", gamma=None):
+        s = self.surgery
+        out = self.bn1(self.conv1(x))
+        out = (decay_relu(out, gamma) if gamma is not None
+               else _inner_act(out, s, self.block_index, self.stage_first, mode))
+        out = self.bn2(self.conv2(out))
+        out = (decay_relu(out, gamma) if gamma is not None
+               else _inner_act(out, s, self.block_index, self.stage_first, mode))
+        return self.bn3(self.conv3(out))
+
+    def __call__(self, x, gamma=None):
+        s = self.surgery
+        if self.block_index >= s.linbp_start:
+            out = _linbp_block_main(self, x)
+        else:
+            out = self._main(x, gamma=gamma)
+        identity = x
+        if self.downsample:
+            identity = self.downsample_bn(self.downsample_conv(x))
         out = _merge(out, identity, self, s, self.stage_index)
-        return _act(out, s, self.block_index)
-
-
-def _act(x, s: SurgeryConfig, block_index: int):
-    if block_index >= s.linbp_start:
-        return linbp_relu(x)
-    if block_index >= s.bpa_start:
-        return relu_silu(x)
-    if s.softplus_beta is not None:
-        return jax.nn.softplus(s.softplus_beta * x) / s.softplus_beta
-    if s.gamma != 1.0:
-        return scaled_grad_relu(x, s.gamma)
-    return jax.nn.relu(x)
+        return _final_act(out, s, self.block_index)
 
 
 def _merge(out, identity, mdl: nn.Module, s: SurgeryConfig, stage_index: int = 0):
@@ -276,8 +397,54 @@ def _merge(out, identity, mdl: nn.Module, s: SurgeryConfig, stage_index: int = 0
             rng, (1,) * (out.ndim - 1) + (out.shape[-1],), out.dtype,
             minval=1.0 - s.ghost_range, maxval=1.0 + s.ghost_range,
         )
+        # exposed for the golden-parity twin (tests/test_surgery_parity.py)
+        mdl.sow("intermediates", "ghost_scale", scale)
         identity = identity * scale
     return out * s.stage_scale(stage_index) + identity
+
+
+class _StemKernel(nn.Module):
+    """Holds the stem conv kernel at the same tree path as ``nn.Conv``
+    (``params/conv1/kernel``) so checkpoints are interchangeable between the
+    folded and stock stem paths."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, in_channels, self.features),
+        )
+
+
+def _stem_space_to_depth(x, w):
+    """7×7/2 stem conv computed as a 4×4/1 conv on 2×2 space-to-depth blocks.
+
+    The stock stem (7·7·3=147-deep contraction at 224², and its input-gradient
+    a transposed conv producing only 3 channels) underutilizes the MXU and was
+    the single hottest op in the bench profile.  Folding the kernel into block
+    space (12 input channels, 112² positions) is bit-exact — same MACs — and
+    ~4× friendlier to the systolic array in the backward pass.
+
+    ``w``: HWIO (7, 7, 3, C).  Derivation: out[o] = Σ_k w[k]·x[2o+k−3]; with
+    x'[p,d] = x[2p+d] and k = 2·mm+d−1 this is a kernel w'[mm,d] = w[2mm+d−1]
+    (zero at k=−1), block-space padding (2, 1).
+    """
+    B, H, W, C = x.shape
+    xs = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, H // 2, W // 2, 4 * C)  # channel order (dH, dW, c)
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # wp[j] = w[j-1]
+    wf = wp.reshape(4, 2, 4, 2, w.shape[2], w.shape[3]).transpose(0, 2, 1, 3, 4, 5)
+    wf = wf.reshape(4, 4, 4 * w.shape[2], w.shape[3])
+    # raw lax conv does not promote mixed dtypes the way nn.Conv does
+    # (bf16 params + fp32 inputs happen when attacks bypass get_logits)
+    dt = jnp.promote_types(xs.dtype, wf.dtype)
+    xs, wf = xs.astype(dt), wf.astype(dt)
+    return jax.lax.conv_general_dilated(
+        xs, wf, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class ResNet(nn.Module):
@@ -289,31 +456,47 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     surgery: SurgeryConfig = DEFAULT_SURGERY
+    stem_s2d: bool = True  # space-to-depth stem (bit-exact; see above)
 
     @nn.compact
-    def __call__(self, x, features_only: bool = False, tap_fns=None):
+    def __call__(self, x, features_only: bool = False, tap_fns=None,
+                 gammas=None):
         """``tap_fns``: optional dict mapping tap names (``stage{i}``, or a
         block name like ``layer2_3``) to pure functions applied to that
         activation in the forward graph — the functional replacement for the
         reference's forward/backward hooks (FIA ``fia.py:55-61``, ILPD
         feature mixing, FAUG noise injection).  Differentiating w.r.t. a
-        value closed over by a tap gives the hooked feature gradient."""
+        value closed over by a tap gives the hooked feature gradient.
+
+        ``gammas``: optional (B, G) per-sample DecayReLU backward scales for
+        LLTA (``llta_networks/models/decayresnet.py``): the inner ReLUs of
+        every NON-first block of each stage use ``decay_relu`` with its own
+        γ column, ordered stage-major (G = Σ(stage_size − 1))."""
         s = self.surgery
         taps = tap_fns or {}
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            name="conv1",
-        )(x)
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # same parameter tree as nn.Conv(name='conv1'), folded compute
+            w = _StemKernel(name="conv1")(x.shape[-1])
+            x = _stem_space_to_depth(x, w)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, name="conv1",
+            )(x)
         if "conv1" in taps:
             x = taps["conv1"](x)  # FAUG noise injection point (``faug.py``)
         x = bn("bn1")(x)
-        x = _act(x, s, -1)
+        # the stem ReLU ('1.relu') does get SGM's γ hook (``sgm.py:78-79``)
+        x = _inner_act(x, s, -1, False)
         if s.bpa_maxpool:
             x = softmax_maxpool(x, s.bpa_temperature)
         else:
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
         block_idx = 0
+        decay_idx = 0
         for i, n_blocks in enumerate(self.stage_sizes):
             planes = 64 * (2 ** i)
             for j in range(n_blocks):
@@ -327,11 +510,16 @@ class ResNet(nn.Module):
                     surgery=s,
                     block_index=block_idx,
                     stage_index=i,
+                    stage_first=j == 0,
                     name=f"layer{i + 1}_{j}",
                 )
                 if self.block_cls is Bottleneck:
                     kwargs.update(groups=self.groups, base_width=self.base_width)
-                x = self.block_cls(**kwargs)(x)
+                gamma = None
+                if gammas is not None and j > 0:
+                    gamma = gammas[:, decay_idx]
+                    decay_idx += 1
+                x = self.block_cls(**kwargs)(x, gamma=gamma)
                 if f"layer{i + 1}_{j}" in taps:
                     x = taps[f"layer{i + 1}_{j}"](x)
                 block_idx += 1
@@ -360,4 +548,7 @@ register_model("resnet101")(_make([3, 4, 23, 3], Bottleneck))
 register_model("resnet152")(_make([3, 8, 36, 3], Bottleneck))
 register_model("resnext50_32x4d")(
     _make([3, 4, 6, 3], Bottleneck, groups=32, base_width=4)
+)
+register_model("resnext101_32x4d")(
+    _make([3, 4, 23, 3], Bottleneck, groups=32, base_width=4)
 )

@@ -34,12 +34,32 @@ class ViTSurgery:
     """
 
     attn_bwd: Optional[Callable] = None   # grad of softmax attention map
+    scores_bwd: Optional[Callable] = None  # grad of PRE-softmax attn scores —
+                                          # where the reference's attn_drop
+                                          # backward hooks actually land (an
+                                          # eval-mode Dropout attaches to the
+                                          # softmax node, so grad_in[0] is the
+                                          # softmax-INPUT cotangent; TGR/PNA)
     qkv_bwd: Optional[Callable] = None    # grad of the fused qkv projection
     mlp_bwd: Optional[Callable] = None    # grad of mlp hidden activations
-    mlp_in_bwd: Optional[Callable] = None  # grad at the mlp block input (TGR)
+    mlp_in_bwd: Optional[Callable] = None  # grad at the mlp block input
+    mlp_out_bwd: Optional[Callable] = None  # grad of the mlp OUTPUT — where a
+                                          # legacy module hook on `mlp` lands
+                                          # (fc2's output node; TGR mlp_tgr)
     attn_post: Optional[Callable] = None  # forward-mode attention map edit
     attn_pre: Optional[Callable] = None   # forward edit of attention input
                                           # tokens; fn(x, meta, rng) (SAPR)
+    kv_extra: Optional[Callable] = None   # fn(meta) -> (k_ext, v_ext), each
+                                          # (B, h, R, dh) appended along the
+                                          # key axis (LL2S REST attack: the
+                                          # reference also appends q rows but
+                                          # truncates their outputs, which is
+                                          # equivalent to appending k/v only)
+    mlp_hidden_post: Optional[Callable] = None  # forward edit of the mlp
+                                          # hidden activation; fn(h, meta)
+                                          # (LL2S MoE: averaging the linear
+                                          # fc2 over expert dropout masks ≡
+                                          # one forward with the mean mask)
     attn_out_post: Optional[Callable] = None  # forward edit of attention
                                               # module output (FPR momentum)
     mlp_out_post: Optional[Callable] = None   # forward edit of mlp output
@@ -50,8 +70,10 @@ class ViTSurgery:
     skip_attn_grad: bool = False          # PNA: drop grads through attn map
 
     def __hash__(self):
-        return hash((id(self.attn_bwd), id(self.qkv_bwd), id(self.mlp_bwd),
-                     id(self.mlp_in_bwd), id(self.attn_post), id(self.attn_pre),
+        return hash((id(self.attn_bwd), id(self.scores_bwd), id(self.qkv_bwd),
+                     id(self.mlp_bwd), id(self.mlp_in_bwd), id(self.mlp_out_bwd),
+                     id(self.attn_post), id(self.attn_pre), id(self.kv_extra),
+                     id(self.mlp_hidden_post),
                      id(self.attn_out_post), id(self.mlp_out_post),
                      id(self.mlp_in_post), id(self.qkv_post), id(self.q_bwd),
                      self.skip_attn_grad))
@@ -101,9 +123,14 @@ class Attention(nn.Module):
         qkv = apply_bwd_hook(qkv, s.qkv_bwd, meta)
         qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
+        if s.kv_extra is not None:
+            k_ext, v_ext = s.kv_extra(meta)
+            k = jnp.concatenate([k, k_ext.astype(k.dtype)], axis=2)
+            v = jnp.concatenate([v, v_ext.astype(v.dtype)], axis=2)
 
         attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)  # (B, h, N, N)
+        attn = apply_bwd_hook(attn, s.scores_bwd, meta)
+        attn = jax.nn.softmax(attn, axis=-1)  # (B, h, N, N[+R])
         if s.attn_post is not None:
             attn = s.attn_post(attn, meta)
         if s.skip_attn_grad:
@@ -132,8 +159,11 @@ class Mlp(nn.Module):
         meta = {"block": self.block_index}
         x = nn.Dense(self.hidden, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
+        if self.surgery.mlp_hidden_post is not None:
+            x = self.surgery.mlp_hidden_post(x, meta)
         x = apply_bwd_hook(x, self.surgery.mlp_bwd, meta)
         x = nn.Dense(self.out, name="fc2")(x)
+        x = apply_bwd_hook(x, self.surgery.mlp_out_bwd, meta)
         if self.surgery.mlp_out_post is not None:
             x = self.surgery.mlp_out_post(x, meta)
         return x
@@ -175,9 +205,13 @@ class VisionTransformer(nn.Module):
     num_classes: int = 1000
     surgery: ViTSurgery = DEFAULT_VIT_SURGERY
     token_drop: float = 0.0  # PNA-PatchOut random patch drop (rng 'patch')
+    distilled: bool = False  # DeiT: dist token + dual head (timm deit.py)
 
     @nn.compact
-    def __call__(self, x, features_only: bool = False):
+    def __call__(self, x, features_only: bool = False, extra_tokens=None):
+        """``extra_tokens``: optional (B, R, D) sequence appended after the
+        positional embedding — LL2S robust-token injection
+        (``ll2s.py:286-306`` vit_forward_features)."""
         B = x.shape[0]
         x = nn.Conv(
             self.dim, (self.patch_size, self.patch_size),
@@ -185,18 +219,26 @@ class VisionTransformer(nn.Module):
         )(x)
         x = x.reshape(B, -1, self.dim)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
+        prefix = [jnp.broadcast_to(cls, (B, 1, self.dim))]
+        if self.distilled:
+            dist = self.param("dist_token", nn.initializers.zeros,
+                              (1, 1, self.dim))
+            prefix.append(jnp.broadcast_to(dist, (B, 1, self.dim)))
+        x = jnp.concatenate(prefix + [x], axis=1)
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
         )
         x = x + pos
+        if extra_tokens is not None:
+            x = jnp.concatenate([x, extra_tokens.astype(x.dtype)], axis=1)
+        n_prefix = 2 if self.distilled else 1
         if self.token_drop > 0.0:
-            # PatchOut: randomly zero patch tokens per forward (never the cls)
+            # PatchOut: randomly zero patch tokens per forward (never cls/dist)
             rng = self.make_rng("patch")
             keep = jax.random.bernoulli(
                 rng, 1.0 - self.token_drop, (B, x.shape[1], 1)
             ).astype(x.dtype)
-            keep = keep.at[:, 0, :].set(1.0)
+            keep = keep.at[:, :n_prefix, :].set(1.0)
             x = x * keep
         for i in range(self.depth):
             x = Block(
@@ -207,7 +249,12 @@ class VisionTransformer(nn.Module):
         feats = x[:, 0]
         if features_only:
             return feats
-        return nn.Dense(self.num_classes, name="head")(feats)
+        logits = nn.Dense(self.num_classes, name="head")(feats)
+        if self.distilled:
+            # timm DeiT eval: mean of the class and distillation heads
+            logits_dist = nn.Dense(self.num_classes, name="head_dist")(x[:, 1])
+            logits = (logits + logits_dist) / 2.0
+        return logits
 
 
 register_model("vit_base_patch16_224")(VisionTransformer)
@@ -215,5 +262,5 @@ register_model("vit_small_patch16_224")(
     lambda **kw: VisionTransformer(dim=384, depth=12, num_heads=6, **kw)
 )
 register_model("deit_base_distilled_patch16_224")(
-    lambda **kw: VisionTransformer(**kw)  # distillation token folded for attack use
+    lambda **kw: VisionTransformer(distilled=True, **kw)
 )
