@@ -2,12 +2,14 @@
 ``defense/diffpure/diffpure.py:35-175`` + vendored guided_diffusion, 9,898
 LoC).
 
-``SDE_Adv_Model.forward``: diffuse the input to t* with the DDPM forward
-process, reverse-denoise with a UNet, then classify.  The vendored
-guided-diffusion UNet is re-implemented compactly in Flax (timestep-
-embedded residual UNet with attention at low resolution); its weights load
-from ``diffpure_unet.npz``, falling back to random init with a warning.
-The NCSN++ CUDA kernels are the ``ops/upfirdn.py`` XLA equivalents.
+``SDE_Adv_Model.forward``: upsample 224→256, diffuse to t* with the DDPM
+forward process, reverse-denoise with the guided-diffusion 256² UNet
+(``gd_unet.GuidedDiffusionUNet`` — the faithful port whose parameter tree
+matches the official ``256x256_diffusion_uncond.pt`` checkpoint), downsample
+back, then classify (``diffpure.py:70-95``).  The reverse step is the
+guided-diffusion ``p_sample`` with learned-range variance and clipped x₀
+(learn_sigma → 6 output channels).  The NCSN++ CUDA kernels are the
+``ops/upfirdn.py`` XLA equivalents.
 """
 from __future__ import annotations
 
@@ -17,104 +19,91 @@ import warnings
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
 
 from ..models import load_npz_variables, make_model
+from .gd_unet import GuidedDiffusionUNet
 from .scoring import write_label_csv
+from ..utils.weights_manifest import record_fallback
 
-
-def timestep_embedding(t, dim: int):
-    half = dim // 2
-    freqs = jnp.exp(-jnp.log(10000.0) * jnp.arange(half) / half)
-    args = t[:, None].astype(jnp.float32) * freqs[None]
-    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
-
-
-class ResBlock(nn.Module):
-    ch: int
-
-    @nn.compact
-    def __call__(self, x, emb):
-        h = nn.GroupNorm(num_groups=8, name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.ch, (3, 3), padding=[(1, 1), (1, 1)], name="conv1")(h)
-        e = nn.Dense(self.ch, name="emb_proj")(nn.silu(emb))
-        h = h + e[:, None, None, :]
-        h = nn.GroupNorm(num_groups=8, name="norm2")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.ch, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(h)
-        if x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1, 1), name="skip")(x)
-        return x + h
-
-
-class DiffusionUNet(nn.Module):
-    """Compact guided-diffusion-style UNet (stand-in for
-    ``guided_diffusion/unet.py:902``)."""
-
-    base: int = 64
-    mults: tuple = (1, 2, 4)
-    emb_dim: int = 256
-
-    @nn.compact
-    def __call__(self, x, t):
-        emb = nn.Dense(self.emb_dim, name="emb1")(
-            timestep_embedding(t, self.emb_dim)
-        )
-        emb = nn.Dense(self.emb_dim, name="emb2")(nn.silu(emb))
-        h = nn.Conv(self.base, (3, 3), padding=[(1, 1), (1, 1)], name="in_conv")(x)
-        skips = [h]
-        for i, m in enumerate(self.mults):
-            h = ResBlock(self.base * m, name=f"down_{i}")(h, emb)
-            skips.append(h)
-            if i < len(self.mults) - 1:
-                h = nn.Conv(self.base * m, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)], name=f"downsample_{i}")(h)
-        h = ResBlock(self.base * self.mults[-1], name="mid")(h, emb)
-        for i, m in reversed(list(enumerate(self.mults))):
-            skip = skips[i + 1]
-            if h.shape[1] != skip.shape[1]:
-                h = jax.image.resize(
-                    h, skip.shape[:3] + (h.shape[3],), method="nearest"
-                )
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = ResBlock(self.base * m, name=f"up_{i}")(h, emb)
-        h = nn.GroupNorm(num_groups=8, name="out_norm")(h)
-        h = nn.silu(h)
-        return nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)], name="out_conv")(h)
+# tiny same-architecture config for the weightless fallback and fast tests
+_TINY_UNET = dict(image_size=32, model_channels=32, num_res_blocks=1,
+                  attention_ds=(2,), channel_mult=(1, 2), num_head_channels=16)
 
 
 class DiffPure:
-    """DDPM purification: diffuse to ``t_star`` then reverse-denoise
-    (``diffpure.py:70-120``); T=1000 linear betas."""
+    """DDPM purification: diffuse to ``t_star`` then reverse-denoise with the
+    guided-diffusion posterior (``runners/diffpure_guided.py:42-90``,
+    ``--t 150`` per ``defense/diffpure_defense.sh:12``); T=1000 linear betas."""
 
-    def __init__(self, t_star: int = 100, T: int = 1000, image_size: int = 256,
-                 ckpt: str = "diffpure_unet"):
+    def __init__(self, t_star: int = 150, T: int = 1000, image_size: int = 256,
+                 ckpt: str = "diffpure_unet", unet_config: dict = None):
         self.t_star = int(t_star)
         self.T = int(T)
         self.image_size = int(image_size)
-        betas = np.linspace(1e-4, 0.02, self.T, dtype=np.float32)
+        betas = np.linspace(1e-4, 0.02, self.T, dtype=np.float64)
         alphas = 1.0 - betas
-        self.betas = jnp.asarray(betas)
-        self.alphas_cum = jnp.asarray(np.cumprod(alphas))
-        self.unet = DiffusionUNet()
+        acum = np.cumprod(alphas)
+        acum_prev = np.append(1.0, acum[:-1])
+        # guided-diffusion posterior quantities (gaussian_diffusion.py)
+        post_var = betas * (1.0 - acum_prev) / (1.0 - acum)
+        post_var_clipped = np.append(post_var[1], post_var[1:])
+        self.betas = jnp.asarray(betas, jnp.float32)
+        self.alphas_cum = jnp.asarray(acum, jnp.float32)
+        self.sqrt_recip_acum = jnp.asarray(np.sqrt(1.0 / acum), jnp.float32)
+        self.sqrt_recipm1_acum = jnp.asarray(np.sqrt(1.0 / acum - 1.0), jnp.float32)
+        self.post_mean_c1 = jnp.asarray(
+            betas * np.sqrt(acum_prev) / (1.0 - acum), jnp.float32)
+        self.post_mean_c2 = jnp.asarray(
+            (1.0 - acum_prev) * np.sqrt(alphas) / (1.0 - acum), jnp.float32)
+        self.log_post_var_clipped = jnp.asarray(
+            np.log(post_var_clipped), jnp.float32)
+        self.log_betas = jnp.asarray(np.log(betas), jnp.float32)
+
         root = os.environ.get("TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights"))
         path = os.path.join(root, f"{ckpt}.npz")
+        if unet_config is not None:
+            self.unet = GuidedDiffusionUNet(**unet_config)
+        elif os.path.exists(path):
+            self.unet = GuidedDiffusionUNet()  # full ImageNet-256 config
+        else:
+            self.unet = GuidedDiffusionUNet(**_TINY_UNET)
         if os.path.exists(path):
             self.unet_vars = load_npz_variables(path)
         else:
+            record_fallback("diffpure_unet")
             warnings.warn(f"DiffPure: UNet checkpoint {path} missing; "
-                          "random-init UNet (purification is a no-op filter).")
+                          "random-init tiny UNet (purification is a no-op "
+                          "filter) — results carry fallback_weights_used.")
+            side = min(self.image_size, 64)
             self.unet_vars = self.unet.init(
                 jax.random.PRNGKey(9),
-                jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)),
+                jnp.zeros((1, side, side, 3)), jnp.zeros((1,)),
             )
+        self.fallback_weights = not os.path.exists(path)
         self._jitted = None
+
+    def p_sample(self, xt, t, key):
+        """One reverse step: learned-range variance + clipped x₀ prediction
+        (guided_diffusion ``p_mean_variance``/``p_sample`` with
+        clip_denoised=True, as the runner calls it)."""
+        tt = jnp.full((xt.shape[0],), t, jnp.float32)
+        out = self.unet.apply(self.unet_vars, xt, tt)
+        eps, var_frac = jnp.split(out, 2, axis=-1)
+        # LEARNED_RANGE: interpolate log-variance between posterior and beta
+        frac = (var_frac + 1.0) / 2.0
+        log_var = (frac * self.log_betas[t]
+                   + (1 - frac) * self.log_post_var_clipped[t])
+        x0 = self.sqrt_recip_acum[t] * xt - self.sqrt_recipm1_acum[t] * eps
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = self.post_mean_c1[t] * x0 + self.post_mean_c2[t] * xt
+        z = jax.random.normal(key, xt.shape, xt.dtype)
+        nonzero = jnp.where(t > 0, 1.0, 0.0)
+        return mean + nonzero * jnp.exp(0.5 * log_var) * z
 
     def purify(self, x, key):
         """x in [0,1] → diffused to t*, reverse-denoised, back to [0,1]."""
         x2 = x * 2.0 - 1.0
-        a_star = self.alphas_cum[self.t_star]
+        a_star = self.alphas_cum[self.t_star - 1]
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x2.shape, x2.dtype)
         xt = jnp.sqrt(a_star) * x2 + jnp.sqrt(1 - a_star) * noise
@@ -122,15 +111,7 @@ class DiffPure:
         def body(carry, t):
             xt, key = carry
             key, sub = jax.random.split(key)
-            tt = jnp.full((x2.shape[0],), t, jnp.float32)
-            eps = self.unet.apply(self.unet_vars, xt, tt)
-            beta = self.betas[t]
-            a = 1.0 - beta
-            acum = self.alphas_cum[t]
-            mean = (xt - beta / jnp.sqrt(1 - acum) * eps) / jnp.sqrt(a)
-            z = jax.random.normal(sub, xt.shape, xt.dtype)
-            xt = mean + jnp.where(t > 0, jnp.sqrt(beta), 0.0) * z
-            return (xt, key), None
+            return (self.p_sample(xt, t, sub), key), None
 
         (x0, _), _ = jax.lax.scan(
             body, (xt, key), jnp.arange(self.t_star - 1, -1, -1)
@@ -144,10 +125,12 @@ class DiffPure:
 
 
 def run_diffpure(input_dir: str, output_dir: str, batchsize: int = 4,
-                 t_star: int = 100, model_name: str = "resnet50",
-                 out_csv: str = "diffpure_predictions.csv", seed: int = 0) -> str:
-    """Purify → classify → prediction CSV (``diffpure.py:70-80``: the
-    reference upsamples to 256, purifies, downsamples, classifies)."""
+                 t_star: int = 150, model_name: str = "resnet50",
+                 out_csv: str = "diffpure_predictions.csv", seed: int = 0,
+                 purify_size: int = None) -> str:
+    """Purify → classify → prediction CSV.  Mirrors ``diffpure.py:76-86``:
+    bilinear upsample to 256², purify at the diffusion model's native
+    resolution, bilinear downsample back, classify in [0, 1] space."""
     from ..utils.data import AdvDataset
 
     dp = DiffPure(t_star=t_star)
@@ -155,12 +138,29 @@ def run_diffpure(input_dir: str, output_dir: str, batchsize: int = 4,
     classify = jax.jit(
         lambda v, x: surrogate.apply(v, x).argmax(-1)
     )
+
+    def _resize(imgs, size):
+        return jax.image.resize(
+            imgs, (imgs.shape[0], size, size, imgs.shape[3]), method="bilinear"
+        )
+
+    # With real weights: purify at the diffusion model's native 256².  In the
+    # random-init fallback, purify at 64² instead — the tiny stand-in UNet
+    # attends at ds=2, and at the dataset's 224² that is 112²=12.5k tokens
+    # (a ~15 GB attention matrix per layer on the CPU test path).
+    native = purify_size or (dp.image_size if not dp.fallback_weights else 64)
     ds = AdvDataset(input_dir=input_dir, output_dir=output_dir, eval_mode=True)
     preds = {}
     key = jax.random.PRNGKey(seed)
     for xs, ys, names in ds.as_batches(batchsize):
         key, sub = jax.random.split(key)
-        purified = dp(jnp.asarray(xs), sub)
+        xs = jnp.asarray(xs)
+        orig = xs.shape[1]
+        if native and orig != native:
+            xs = _resize(xs, native)
+        purified = dp(xs, sub)
+        if native and orig != native:
+            purified = _resize(purified, orig)
         p = np.asarray(classify(surrogate.variables, purified))
         for nm, pi in zip(names, p):
             preds[nm] = int(pi)
