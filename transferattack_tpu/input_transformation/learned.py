@@ -22,6 +22,7 @@ from flax import linen as nn
 from ..attack import Attack, AttackState, mean_over_keys, softmax_cross_entropy
 from ..gradient.mifgsm import MIFGSM
 from ..models import load_npz_variables
+from ..utils.weights_manifest import record_fallback
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
@@ -32,19 +33,26 @@ def _load_aux(name, init_fn):
     path = os.path.join(root, f"{name}.npz")
     if os.path.exists(path):
         return load_npz_variables(path)
+    record_fallback(name)
     warnings.warn(f"{name}.npz not found in {root}; random-init aux network.")
     return init_fn()
 
 
 class ATTAModel(nn.Module):
-    """The adversarial-transformation CNN (``atta.py:96-105``)."""
+    """The adversarial-transformation CNN (``atta.py:96-105``): conv3 →
+    LeakyReLU(True) → conv15.  ``nn.LeakyReLU(True)`` sets negative_slope to
+    ``True``≡1.0 — an identity activation; reproduced bug-faithfully so the
+    official checkpoint behaves identically.  Parameter names ``conv_0`` /
+    ``conv_2`` match the torch Sequential indices (the manifest's conversion
+    recipe strips the wrapper's leading ``1.``)."""
 
     @nn.compact
     def __call__(self, x):
+        # the reference wraps the CNN as Sequential(Normalize(imagenet), net)
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        h = nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)], name="conv0")(x)
-        h = nn.leaky_relu(h)
-        return nn.Conv(3, (15, 15), padding=[(7, 7), (7, 7)], name="conv1")(h)
+        h = nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)], name="conv_0")(x)
+        # LeakyReLU(negative_slope=True) == identity
+        return nn.Conv(3, (15, 15), padding=[(7, 7), (7, 7)], name="conv_2")(h)
 
 
 class ATTA(MIFGSM):
@@ -72,30 +80,95 @@ class ATTA(MIFGSM):
         return jax.grad(loss_fn)(state.delta), {}
 
 
-class StyleNet(nn.Module):
-    """Lightweight AdaIN style network (stand-in for the Ghiasi transformer,
-    ``stm.py:212-316``): conv encoder → style-conditioned renorm → decoder."""
+def _instance_norm(h, eps=1e-5):
+    """torch InstanceNorm2d (affine=False): per-sample per-channel, biased
+    variance."""
+    mu = h.mean(axis=(1, 2), keepdims=True)
+    var = ((h - mu) ** 2).mean(axis=(1, 2), keepdims=True)
+    return (h - mu) / jnp.sqrt(var + eps)
 
-    style_dim: int = 100
-    width: int = 32
+
+def _reflect_conv(x, features, kernel, stride, name):
+    pad = kernel // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding="VALID", name=name)(x)
+
+
+class _ConvInRelu(nn.Module):
+    """``stm.py:113-130``: reflection-pad conv → InstanceNorm → ReLU."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = _reflect_conv(x, self.features, self.kernel, self.stride, "conv")
+        return nn.relu(_instance_norm(x))
+
+
+class _UpsampleConvInRelu(nn.Module):
+    """``stm.py:133-170``: optional nearest ×2 → reflect conv → InstanceNorm
+    → style γ/β modulation → optional ReLU."""
+
+    features: int
+    kernel: int
+    upsample: int = 0
+    activation: bool = True
 
     @nn.compact
     def __call__(self, x, style):
-        h = nn.Conv(self.width, (3, 3), padding=[(1, 1), (1, 1)], name="enc1")(x)
-        h = nn.relu(h)
-        h = nn.Conv(self.width, (3, 3), padding=[(1, 1), (1, 1)], name="enc2")(h)
-        h = nn.relu(h)
-        # AdaIN: instance-normalize, then scale/shift from the style code
-        mu = h.mean(axis=(1, 2), keepdims=True)
-        sd = h.std(axis=(1, 2), keepdims=True) + 1e-5
-        h = (h - mu) / sd
-        gb = nn.Dense(self.width * 2, name="style_fc")(style)
-        gamma, beta = jnp.split(gb, 2, axis=-1)
-        h = h * (1 + gamma[:, None, None, :]) + beta[:, None, None, :]
-        h = nn.Conv(self.width, (3, 3), padding=[(1, 1), (1, 1)], name="dec1")(h)
-        h = nn.relu(h)
-        h = nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)], name="dec2")(h)
-        return jax.nn.sigmoid(h)
+        beta = nn.Dense(self.features, name="fc_beta")(style)
+        gamma = nn.Dense(self.features, name="fc_gamma")(style)
+        if self.upsample:
+            B, H, W, C = x.shape
+            x = jax.image.resize(
+                x, (B, H * self.upsample, W * self.upsample, C), "nearest")
+        x = _reflect_conv(x, self.features, self.kernel, 1, "conv")
+        x = _instance_norm(x)
+        x = gamma[:, None, None, :] * x + beta[:, None, None, :]
+        return nn.relu(x) if self.activation else x
+
+
+class _GhiasiResidualBlock(nn.Module):
+    """``stm.py:173-209``: two style-modulated reflect-pad convs."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, style):
+        beta1 = nn.Dense(self.channels, name="fc_beta1")(style)
+        gamma1 = nn.Dense(self.channels, name="fc_gamma1")(style)
+        beta2 = nn.Dense(self.channels, name="fc_beta2")(style)
+        gamma2 = nn.Dense(self.channels, name="fc_gamma2")(style)
+        y = _reflect_conv(x, self.channels, 3, 1, "conv1")
+        y = _instance_norm(y)
+        y = nn.relu(gamma1[:, None, None, :] * y + beta1[:, None, None, :])
+        y = _reflect_conv(y, self.channels, 3, 1, "conv2")
+        y = _instance_norm(y)
+        y = gamma2[:, None, None, :] * y + beta2[:, None, None, :]
+        return x + y
+
+
+class StyleNet(nn.Module):
+    """The Ghiasi style-transfer network (``stm.py:212-243``), faithful:
+    3 ConvInRelu → 5 style-modulated residual blocks → 3 upsample-conv
+    layers → sigmoid.  Module names ``layers_{i}`` match the checkpoint's
+    ``layers.N.*`` keys."""
+
+    @nn.compact
+    def __call__(self, x, style):
+        x = _ConvInRelu(32, 9, 1, name="layers_0")(x)
+        x = _ConvInRelu(64, 3, 2, name="layers_1")(x)
+        x = _ConvInRelu(128, 3, 2, name="layers_2")(x)
+        for i in range(3, 8):
+            x = _GhiasiResidualBlock(128, name=f"layers_{i}")(x, style)
+        x = _UpsampleConvInRelu(64, 3, upsample=2, name="layers_8")(x, style)
+        x = _UpsampleConvInRelu(32, 3, upsample=2, name="layers_9")(x, style)
+        x = _UpsampleConvInRelu(3, 9, upsample=0, activation=False,
+                                name="layers_10")(x, style)
+        return jax.nn.sigmoid(x)
 
 
 class STM(MIFGSM):
@@ -118,13 +191,24 @@ class STM(MIFGSM):
                 jnp.zeros((1, 100)),
             ),
         )
+        # PBN style-embedding distribution (``stm.py:273-289``): sample =
+        # randn @ Aᵀ + mean where A = U·diag(√s) from the covariance SVD;
+        # converted from checkpoint_embeddings.pth into stm_embeddings.npz
+        emb = _load_aux(
+            "stm_embeddings",
+            lambda: {"pbn_embedding_mean": jnp.zeros((1, 100)),
+                     "A": jnp.eye(100)},
+        )
+        self.style_mean = jnp.asarray(emb["pbn_embedding_mean"]).reshape(1, 100)
+        self.style_A = jnp.asarray(emb["A"]).reshape(100, 100)
 
     def get_grad(self, variables, x, y, state: AttackState, key):
         xadv = x + state.delta
 
         def one_style(k):
             k1, k2 = jax.random.split(k)
-            style = jax.random.normal(k1, (x.shape[0], 100))
+            style = (jax.random.normal(k1, (x.shape[0], 100))
+                     @ self.style_A.T + self.style_mean)
             styled = jax.lax.stop_gradient(
                 self.stylenet.apply(self.style_vars, xadv, style)
             )
@@ -146,69 +230,295 @@ class STM(MIFGSM):
         return avg, {}
 
 
+class SemanticPredictor(nn.Module):
+    """PAM's trained predictor (``pam.py:215-244``): conv5 → avgpool4 →
+    conv5 → avgpool4 → fc(196→8) → sigmoid·0.1 + 0.9 — per-image scaling
+    ratios for the 8 augmentation baselines."""
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Conv(3, (5, 5), padding="SAME", name="conv1")(x))
+        h = nn.avg_pool(h, (4, 4), strides=(4, 4))
+        h = nn.relu(nn.Conv(1, (5, 5), padding="SAME", name="conv2")(h))
+        h = nn.avg_pool(h, (4, 4), strides=(4, 4))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.Dense(8, name="fc")(h)
+        return jax.nn.sigmoid(h) * 0.1 + 0.9
+
+
+# the 8 augmentation-path baseline colors (``pam.py:48-55``)
+PAM_BASELINES = jnp.asarray(
+    [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [1.0, 1.0, 1.0], [0.5, 0.5, 0.0],
+     [1.0, 1.0, 0.5], [1.0, 0.5, 1.0], [0.5, 1.0, 1.0], [0.0, 0.5, 0.5]]
+)
+
+
 class PAM(MIFGSM):
-    """Path-augmentation method (``pam.py:12-260``): augmentation paths mix
-    the adversary toward baseline anchors at several depths; the trained
-    semantic predictor that prunes harmful paths is replaced by uniform path
-    sampling when its checkpoint is absent."""
+    """Path-augmentation method (``pam.py:12-260``), faithful: the trained
+    SemanticPredictor scales 8 baseline colors per image; each iteration
+    combines the plain gradient with 32× the mean gradient over the
+    8-path × 4-scale copies x/2ⁱ + base_p·ratio_p·(1−1/2ⁱ)
+    (``pam.py:70-79,118-125``).  The predictor loads from
+    ``pam_semantic_predictor.npz`` (convert the reference's
+    ``semantic_predictor.pth``, or train one with :meth:`train_sp`); absent
+    that, ratios fall back to 1 — the reference's own commented-out fallback
+    (``pam.py:112``)."""
 
-    ANCHORS = ("zero", "gray", "noise", "shuffle")
-
-    def __init__(self, model_name="resnet50", num_scale=4, num_path=3, **kwargs):
+    def __init__(self, model_name="resnet50", num_aug_path=8, num_scale=4,
+                 train_epoch=15, **kwargs):
         kwargs.setdefault("attack", "PAM")
         super().__init__(model_name, **kwargs)
+        self.num_aug_path = int(num_aug_path)
         self.num_scale = int(num_scale)
-        self.num_path = int(num_path)
+        self.train_epoch = int(train_epoch)
+        self.sp = SemanticPredictor()
+        root = os.environ.get("TA_TPU_WEIGHTS_DIR",
+                              os.path.join(os.getcwd(), "weights"))
+        path = os.path.join(root, "pam_semantic_predictor.npz")
+        if os.path.exists(path):
+            self.sp_vars = load_npz_variables(path)
+        else:
+            record_fallback("pam_semantic_predictor")
+            warnings.warn("PAM: pam_semantic_predictor.npz missing; using "
+                          "ratios=1 (reference fallback). Train with "
+                          "PAM.train_sp or convert semantic_predictor.pth.")
+            self.sp_vars = None
 
-    def num_copies(self):
-        return self.num_scale * self.num_path
+    def _ratios(self, x):
+        if self.sp_vars is None:
+            return jnp.ones((x.shape[0], self.num_aug_path), x.dtype)
+        return self.sp.apply(self.sp_vars, x)
 
-    def transform(self, x, state: AttackState, key):
-        B = x.shape[0]
-        k1, k2 = jax.random.split(key)
-        anchors = [
-            jnp.zeros_like(x),
-            jnp.full_like(x, 0.5),
-            jax.random.uniform(k1, x.shape, x.dtype),
-            jax.lax.stop_gradient(x[jax.random.permutation(k2, B)]),
-        ]
-        paths = anchors[: self.num_path]
+    def _copies(self, xadv, ratios):
+        """(32, B, H, W, C): path-major, scale-minor (``pam.py:57-80``)."""
         copies = []
-        for a in paths:
+        for p in range(self.num_aug_path):
+            base = PAM_BASELINES[p].reshape(1, 1, 1, 3) * \
+                ratios[:, p].reshape(-1, 1, 1, 1)
             for i in range(1, self.num_scale + 1):
-                t = i / self.num_scale
-                copies.append(a + t * (x - a))
+                copies.append(xadv * (1.0 / 2 ** i) + base * (1 - 1.0 / 2 ** i))
         return jnp.stack(copies)
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        ratios = jax.lax.stop_gradient(self._ratios(x))
+
+        def loss_plain(delta):
+            logits = self.model.apply(variables, x + delta)
+            return softmax_cross_entropy(logits, y).mean()
+
+        def loss_copies(delta):
+            xs = self._copies(x + delta, ratios)
+            logits = self.model.apply(
+                variables, xs.reshape((-1,) + xs.shape[2:])
+            )
+            yrep = jnp.tile(y, self.num_aug_path * self.num_scale)
+            ce = softmax_cross_entropy(logits, yrep).mean()
+            return -ce if self.targeted else ce
+
+        n_copies = self.num_aug_path * self.num_scale
+        grad = jax.grad(loss_plain)(state.delta) + \
+            n_copies * jax.grad(loss_copies)(state.delta)
+        return grad, {}
+
+    def train_sp(self, input_dir: str, lr: float = 1e-4, batch_size: int = 1,
+                 save_name: str = "pam_semantic_predictor"):
+        """``train_SP`` (``pam.py:136-211``): Adam on the squared margin
+        between the true-class and runner-up logits of baseline-mixed
+        images."""
+        import numpy as np
+        import optax
+
+        from ..models import save_npz_variables
+        from ..utils.data import AdvDataset
+
+        params = self.sp.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 224, 224, 3)))
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+        variables = self.model.variables
+
+        @jax.jit
+        def step(params, opt_state, x, y):
+            def sp_loss(p):
+                pred = self.sp.apply(p, x)[0]  # (8,)
+                x_aug = (x[None, 0] * (1 - pred.reshape(-1, 1, 1, 1))
+                         + PAM_BASELINES.reshape(-1, 1, 1, 3)
+                         * pred.reshape(-1, 1, 1, 1))
+                logits = self.model.apply(variables, x_aug)
+                yrep = jnp.tile(y[:1], self.num_aug_path)
+                true = jnp.take_along_axis(logits, yrep[:, None], 1)[:, 0]
+                masked = logits.at[jnp.arange(logits.shape[0]), yrep].set(-jnp.inf)
+                second = masked.max(axis=1)
+                return jnp.sum((true - second) ** 2)
+
+            loss, grads = jax.value_and_grad(sp_loss)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        ds = AdvDataset(input_dir=input_dir)
+        for _ in range(self.train_epoch):
+            for xs, ys, _names in ds.as_batches(batch_size):
+                y = jnp.asarray(ys)
+                if y.ndim == 2:
+                    y = y[:, 1] if self.targeted else y[:, 0]
+                params, opt_state, _ = step(
+                    params, opt_state, jnp.asarray(xs), y
+                )
+        root = os.environ.get("TA_TPU_WEIGHTS_DIR",
+                              os.path.join(os.getcwd(), "weights"))
+        save_npz_variables(os.path.join(root, f"{save_name}.npz"), params)
+        self.sp_vars = params
+        return params
+
+
+class AITLEncoder(nn.Module):
+    """``aitl.py:159-191``: 3× (Linear → ReLU → Dropout → BatchNorm1d)
+    mapping the 80-dim one-hot transform combo to a 128-dim latent.  Names
+    ``fc{i}_0`` (linear) / ``fc{i}_3`` (bn) match the Sequential indices."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        for i in (1, 2, 3):
+            x = nn.Dense(self.hidden, name=f"fc{i}_0")(x)
+            x = nn.relu(x)  # eval mode: dropout is identity
+            x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-5, name=f"fc{i}_3")(x)
+        return x
+
+
+class AITLDecoder(nn.Module):
+    """``aitl.py:193-228``: only ``fc4`` participates in the forward (fc1-3
+    are dead parameters in the reference); latent → 80 logits (4×20)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(80, name="fc4")(x)
+
+
+class AITLPredictor(nn.Module):
+    """``aitl.py:230-276``: MobileNetV2 backbone (classifier → Linear(1280,
+    128)) + MLP over [image features ∥ transform latent] → predicted ASR.
+    Forward uses fc1, fc5, fc6 (fc2-4 are dead parameters)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, feature_trans):
+        from ..models.mobilenet import MobileNetV2
+
+        feats = MobileNetV2(num_classes=self.hidden, name="backbone")(x)
+        h = jnp.concatenate([feats, feature_trans], axis=-1)
+        h = nn.relu(nn.Dense(self.hidden, name="fc1_0")(h))
+        h = nn.relu(nn.Dense(self.hidden, name="fc5_0")(h))
+        return nn.Dense(1, name="fc6")(h)
 
 
 class AITL(MIFGSM):
-    """Adaptive input-transformation learning (``aitl.py:11-575``): an
-    encoder/decoder/predictor stack picks image-specific transformation
-    combos.  The predictor MLP is reimplemented; without its checkpoint the
-    attack samples k transformations uniformly (documented fallback)."""
+    """Adaptive input-transformation learning (``aitl.py:11-575``),
+    faithful: per batch, sample 5 random 4-op combos; for each, refine the
+    encoder latent by 3 sign-ascent steps (γ=15) on the predictor's ASR
+    estimate, decode to 4 transform indices, and average L1-normalized
+    gradients over the 5 transformed views (``aitl.py:67-151``).  The 20
+    transforms are ``aitl_ops.AITL_OPS``.  Without the three checkpoints
+    (``aitl_{encoder,decoder,predictor}.npz``) the decoded indices reduce to
+    the random initial combos (documented fallback)."""
 
-    def __init__(self, model_name="resnet50", num_ops=3, num_copies=4, **kwargs):
+    requires_batchsize = None  # reference mandates batchsize=1; vmapped here
+
+    def __init__(self, model_name="resnet50", num_lists=5, num_ops=4,
+                 gamma=15.0, refine_steps=3, **kwargs):
         kwargs.setdefault("attack", "AITL")
         super().__init__(model_name, **kwargs)
+        self.num_lists = int(num_lists)
         self.num_ops = int(num_ops)
-        self.n_copies = int(num_copies)
+        self.gamma = float(gamma)
+        self.refine_steps = int(refine_steps)
+        self.encoder = AITLEncoder()
+        self.decoder = AITLDecoder()
+        self.predictor = AITLPredictor()
+        root = os.environ.get("TA_TPU_WEIGHTS_DIR",
+                              os.path.join(os.getcwd(), "weights"))
 
-    def num_copies(self):
-        return self.n_copies
+        def load_or_none(name):
+            path = os.path.join(root, f"{name}.npz")
+            return load_npz_variables(path) if os.path.exists(path) else None
 
-    def transform(self, x, state: AttackState, key):
-        from .l2t import NUM_OPS, _apply_op
+        self.enc_vars = load_or_none("aitl_encoder")
+        self.dec_vars = load_or_none("aitl_decoder")
+        self.pred_vars = load_or_none("aitl_predictor")
+        if None in (self.enc_vars, self.dec_vars, self.pred_vars):
+            record_fallback("aitl_encoder/decoder/predictor")
+            warnings.warn("AITL: encoder/decoder/predictor checkpoints "
+                          "missing; transform combos stay at their random "
+                          "initialization (fallback).")
+            self.enc_vars = self.dec_vars = self.pred_vars = None
 
-        copies = []
-        for i in range(self.n_copies):
-            k = jax.random.fold_in(key, i)
-            pt = x
-            ks = jax.random.split(k, self.num_ops + 1)
-            ids = jax.random.randint(ks[0], (self.num_ops,), 0, NUM_OPS)
-            for j in range(self.num_ops):
-                pt = _apply_op(pt, ids[j], ks[j + 1], self.eps)
-            copies.append(pt)
-        return jnp.stack(copies)
+    def _transform_lists(self, x, key):
+        """(num_lists, num_ops) int32 transform indices (1-based)."""
+        idx0 = jax.random.randint(
+            key, (self.num_lists, self.num_ops), 0, 20)
+        if self.enc_vars is None:
+            return idx0 + 1
+
+        def refine(idx):
+            onehot = jax.nn.one_hot(idx, 20).reshape(1, -1)  # (1, 80)
+            h = self.encoder.apply(self.enc_vars, onehot)
+
+            def body(h, _):
+                def asr(hh):
+                    return self.predictor.apply(
+                        self.pred_vars, x[:1], hh
+                    ).sum()
+
+                g = jax.grad(asr)(h)
+                return h + self.gamma * jnp.sign(g), None
+
+            h, _ = jax.lax.scan(body, h, None, length=self.refine_steps)
+            logits = self.decoder.apply(self.dec_vars, h).reshape(-1, 20)
+            return jnp.argmax(logits, axis=1).astype(jnp.int32)
+
+        return jax.vmap(refine)(idx0) + 1
+
+    def init_extra(self, x, y):
+        # the reference draws the 5 combos once per batch, before the loop
+        # (``aitl.py:68-72``); derive a per-batch key from the data so
+        # batches differ while iterations within a batch agree
+        salt = (jnp.abs(x).sum() * 1e4).astype(jnp.int32)
+        k = jax.random.fold_in(jax.random.PRNGKey(self.seed + 131), salt)
+        return {"aitl_lists": jax.lax.stop_gradient(
+            self._transform_lists(x, k))}
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        from .aitl_ops import apply_aitl_op
+
+        _, k_ops = jax.random.split(key)
+        lists = state.extra["aitl_lists"]
+
+        def one_list(i, delta):
+            def loss_fn(d):
+                pt = x + d
+                ks = jax.random.split(jax.random.fold_in(k_ops, i),
+                                      self.num_ops)
+                for j in range(self.num_ops):
+                    pt = apply_aitl_op(pt, lists[i, j], ks[j])
+                logits = self.model.apply(variables, pt)
+                return self.get_loss(logits[None], y)
+
+            g = jax.grad(loss_fn)(delta)
+            return g / (jnp.abs(g).mean(axis=(1, 2, 3), keepdims=True) + 1e-12)
+
+        total = jnp.zeros_like(x)
+        for i in range(self.num_lists):
+            total = total + one_list(i, state.delta)
+        return total / self.num_lists, {}
+
+    def get_momentum(self, grad, momentum):
+        # AITL pre-normalizes each list's gradient; the momentum update adds
+        # the averaged gradient WITHOUT further L1 normalization
+        # (``aitl.py:92-95``)
+        return momentum * self.decay + grad
 
 
 class LPM(MIFGSM):
