@@ -66,8 +66,14 @@ class SSM_P(SSM):
 
 class ODI(SSM):
     """Object-diverse input (``odi/odi.py:10-515``): targeted, epoch=300,
-    logit loss; each copy views the adversary on a randomly-posed surface
-    (random perspective warp + shading composited on gray background)."""
+    logit loss; each iteration renders the adversary as the texture of a
+    randomly-posed 3D object (pack/pillow/book — config 101's source pool)
+    through the from-scratch TPU rasterizer (``ops/render3d.py``), with
+    random camera (±35° elev/azim/tilt, 0.8–1.2× distance), random point
+    light, and random-pixel background — replacing the reference's
+    pytorch3d pipeline (``odi.py:345-430``)."""
+
+    SOURCE_OBJECTS = ("pack", "pillow", "book")  # odi.py:217
 
     def __init__(self, model_name="resnet50", epoch=300, eps=16 / 255, alpha=2 / 255,
                  decay=1.0, num_views=1, targeted=True, random_start=False,
@@ -79,31 +85,40 @@ class ODI(SSM):
                          loss=loss, attack=attack, **kwargs)
         self.num_views = int(num_views)
         self.kernel = gaussian_kernel(int(kernel_size))
+        from ..ops.render3d import (
+            ODI_MODEL_SETTINGS, ODI_TEXTURE_SIZES, load_mesh,
+        )
+
+        self._meshes = [load_mesh(n) for n in self.SOURCE_OBJECTS]
+        self._settings = [ODI_MODEL_SETTINGS[n] for n in self.SOURCE_OBJECTS]
+        self._tex_sizes = [ODI_TEXTURE_SIZES[n] for n in self.SOURCE_OBJECTS]
 
     def _render(self, x, key):
-        """Random 'object surface' view: perspective-ish affine + brightness
-        shading + gray background outside the warped region."""
-        B = x.shape[0]
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        ang = jax.random.uniform(k1, (B,), minval=-0.35, maxval=0.35)
-        sc = jax.random.uniform(k2, (B,), minval=0.9, maxval=1.4)
-        shear = jax.random.uniform(k3, (B,), minval=-0.25, maxval=0.25)
-        tx = jax.random.uniform(k4, (B,), minval=-0.15, maxval=0.15)
-        ty = jax.random.uniform(k5, (B,), minval=-0.15, maxval=0.15)
-        cos, sin = jnp.cos(ang), jnp.sin(ang)
-        theta = jnp.stack(
-            [
-                jnp.stack([cos * sc, (-sin + shear) * sc, tx], -1),
-                jnp.stack([sin * sc, cos * sc, ty], -1),
-            ],
-            axis=1,
+        """Render the batch on one randomly-chosen object (the reference
+        picks one object per renderer call, ``odi.py:354-356``); camera,
+        light, and background are drawn per image."""
+        from ..ops.render3d import render_odi
+
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        kobj, krender = jax.random.split(key)
+        obj = jax.random.randint(kobj, (), 0, len(self._meshes))
+
+        def branch(i):
+            def run(operand):
+                xx, kk = operand
+                keys = jax.random.split(kk, B)
+                return jax.vmap(
+                    lambda img, k: render_odi(
+                        img, self._meshes[i], self._settings[i],
+                        self._tex_sizes[i], k, H, W,
+                    )
+                )(xx, keys)
+
+            return run
+
+        return jax.lax.switch(
+            obj, [branch(i) for i in range(len(self._meshes))], (x, krender)
         )
-        warped = affine_warp(x, theta)
-        ones = affine_warp(jnp.ones_like(x), theta)
-        shade = 0.7 + 0.3 * jax.random.uniform(
-            jax.random.fold_in(key, 7), (B, 1, 1, 1), x.dtype
-        )
-        return warped * shade * ones + 0.5 * (1 - ones)
 
     def get_loss(self, logits, y):
         picked = jnp.take_along_axis(
