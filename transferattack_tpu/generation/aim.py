@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import warnings
 
+from ..utils.weights_manifest import record_fallback
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,7 @@ class AIM(GenerativeAttack):
 
             img = Image.open(path).convert("RGB").resize((x_shape[2], x_shape[1]))
             return jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+        record_fallback("aim_guides")
         warnings.warn(f"AIM: guide image {path} missing; flat guide used.")
         return jnp.full((1,) + x_shape[1:], 0.5, jnp.float32)
 
@@ -72,6 +75,7 @@ class AIM(GenerativeAttack):
         if os.path.exists(path):
             variables = load_npz_variables(path)
         else:
+            record_fallback("aim_generator")
             warnings.warn(f"AIM: generator {path} missing; random init.")
             rng = jax.random.PRNGKey(self.seed + 151 + idx)
             dummy = jnp.zeros((1,) + x_shape[1:])
@@ -102,16 +106,23 @@ class DiffAttack:
     The reference drives Stable Diffusion 1.5 through diffusers: DDIM-invert
     the image to a latent at ``start_step``, optimize the latent with Adam
     against the surrogate's CE (plus attention-preservation terms), decode.
-    Here the same loop runs over the repo's own DDPM UNet (the DiffPure
-    stack): deterministic DDIM inversion → latent Adam optimization with a
-    CE-plus-reconstruction objective → deterministic DDIM decode.  Converted
-    diffusion weights (``diffpure_unet.npz``) give a meaningful image prior;
-    the SD text-conditioning/attention-control machinery has no offline
-    equivalent and is documented as descoped (SURVEY.md §7 cut-line).
+    Here the same loop runs over the repo's own guided-diffusion UNet (the
+    DiffPure stack): deterministic DDIM inversion → latent AdamW
+    optimization → deterministic DDIM decode, with the reference's full loss
+    (``diffattack.py:279-287``): −CE·10 (attack), self-attention
+    preservation ·100 (MSE between the optimized and clean trajectories'
+    UNet attention maps, the AttentionControlEdit criterion
+    ``diffattack.py:735-751``), and a pseudo cross-attention variance term
+    ·10000 (our UNet is unconditional — the per-token received-attention map
+    stands in for SD's true-label cross-attention column; converted SD
+    weights slot their real cross-attn into the same term).  Converted
+    diffusion weights (``diffpure_unet.npz``) give a meaningful image prior.
     """
 
     def __init__(self, model_name="resnet50", eps=None, diffusion_steps=20,
                  start_step=15, iterations=30, lr=0.01, recon_weight=0.1,
+                 attack_weight=10.0, cross_attn_weight=10000.0,
+                 self_attn_weight=100.0,
                  targeted=False, seed=0, attack="DiffAttack", **kwargs):
         import optax
 
@@ -128,6 +139,10 @@ class DiffAttack:
         self.iterations = int(iterations)
         self.lr = float(lr)
         self.recon_weight = float(recon_weight)
+        # reference loss weights (``diffattack.py:75-77``)
+        self.attack_weight = float(attack_weight)
+        self.cross_attn_weight = float(cross_attn_weight)
+        self.self_attn_weight = float(self_attn_weight)
         self.targeted = targeted
         self.seed = int(seed)
         self.attack = attack
@@ -143,7 +158,8 @@ class DiffAttack:
         def body(xt, i):
             t = i * stride
             tt = jnp.full((x2.shape[0],), t, jnp.float32)
-            eps = unet.apply(uvars, xt, tt)
+            out = unet.apply(uvars, xt, tt)
+            eps = out[..., :3] if out.shape[-1] > 3 else out  # learn_sigma
             a_t = acum[t]
             a_next = acum[jnp.minimum(t + stride, self.dp.T - 1)]
             x0 = (xt - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
@@ -161,7 +177,8 @@ class DiffAttack:
         def body(xt, i):
             t = i * stride
             tt = jnp.full((latent.shape[0],), t, jnp.float32)
-            eps = unet.apply(uvars, xt, tt)
+            out = unet.apply(uvars, xt, tt)
+            eps = out[..., :3] if out.shape[-1] > 3 else out  # learn_sigma
             a_t = acum[t]
             a_prev = acum[jnp.maximum(t - stride, 0)]
             x0 = (xt - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
@@ -173,6 +190,58 @@ class DiffAttack:
         )
         return jnp.clip((xt + 1.0) / 2.0, 0.0, 1.0)
 
+    def _decode_with_attn(self, latent):
+        """DDIM decode that also returns the per-step UNet attention maps —
+        the AttentionStore (``diffattack.py:689-720``), accumulated over
+        steps per layer (``between_steps``)."""
+        unet, uvars = self.dp.unet, self.dp.unet_vars
+        acum = self.dp.alphas_cum
+        stride = max(self.dp.T // self.diffusion_steps, 1)
+
+        def collect(xt, t):
+            tt = jnp.full((latent.shape[0],), t, jnp.float32)
+            out, state = unet.apply(
+                uvars, xt, tt,
+                capture_intermediates=lambda m, _n: False,
+                mutable=["intermediates"],
+            )
+            maps = []
+
+            def walk(node):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        if k == "attn":
+                            maps.append(v[0] if isinstance(v, tuple) else v)
+                        else:
+                            walk(v)
+
+            walk(state["intermediates"])
+            return out, maps
+
+        xt = latent
+        acc = None
+        for i in range(self.start_step - 1, -1, -1):
+            t = i * stride
+            eps6, maps = collect(xt, t)
+            eps = eps6[..., :3] if eps6.shape[-1] > 3 else eps6
+            a_t = acum[t]
+            a_prev = acum[max(t - stride, 0)]
+            x0 = (xt - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            xt = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+            acc = maps if acc is None else [a + m for a, m in zip(acc, maps)]
+        n_steps = max(self.start_step, 1)
+        acc = [a / n_steps for a in (acc or [])]
+        return jnp.clip((xt + 1.0) / 2.0, 0.0, 1.0), acc
+
+    def _pseudo_cross_attn(self, maps):
+        """'Pseudo' cross-attention map: per-token received attention (mean
+        over query rows and heads) of the lowest-resolution map — the
+        unconditional stand-in for SD's true-label cross-attention column
+        (``diffattack.py:264-282``); converted SD weights slot their real
+        cross-attn maps into this same term."""
+        smallest = min(maps, key=lambda m: m.shape[-1])
+        return smallest.mean(axis=(1, 2))  # (B, T)
+
     def _attack(self, svars, x, y):
         import optax
 
@@ -180,16 +249,35 @@ class DiffAttack:
 
         x2 = x * 2.0 - 1.0
         latent0 = self._ddim_invert(x2)
-        opt = optax.adam(self.lr)
+        # clean-trajectory attention maps (the controller's base branch)
+        _, base_maps = self._decode_with_attn(jax.lax.stop_gradient(latent0))
+        base_maps = [jax.lax.stop_gradient(m) for m in base_maps]
+        # layers small enough to store (``diffattack.py:703``: T ≤ (res/16)²)
+        t_cap = max(m.shape[-1] for m in base_maps) if base_maps else 0
+        keep = [i for i, m in enumerate(base_maps)
+                if m.shape[-1] <= max(t_cap // 4, 1) or len(base_maps) <= 2]
+        opt = optax.adamw(self.lr)
         opt_state = opt.init(latent0)
 
         def loss_fn(latent):
-            img = self._ddim_decode(latent)
+            img, maps = self._decode_with_attn(latent)
             logits = self.surrogate.apply(svars, img)
             ce = softmax_cross_entropy(logits, y).mean()
-            adv = -ce if not self.targeted else ce
-            recon = jnp.mean((img - x) ** 2)
-            return adv + self.recon_weight * recon
+            # loss terms and weights mirror ``diffattack.py:279-287``
+            attack_loss = (ce if self.targeted else -ce) * self.attack_weight
+            self_attn_loss = 0.0
+            if keep:
+                for i in keep:
+                    self_attn_loss = self_attn_loss + jnp.mean(
+                        (maps[i] - base_maps[i]) ** 2)
+                self_attn_loss = (self_attn_loss / len(keep)
+                                  * self.self_attn_weight)
+            cross_var_loss = 0.0
+            if maps:
+                cross_var_loss = (jnp.var(self._pseudo_cross_attn(maps))
+                                  * self.cross_attn_weight)
+            recon = self.recon_weight * jnp.mean((img - x) ** 2)
+            return attack_loss + self_attn_loss + cross_var_loss + recon
 
         def body(carry, _):
             latent, s = carry
