@@ -50,11 +50,13 @@ def main():
     # compile + warmup (forced sync via scalar fetch)
     _ = float(run(variables, x, y, jax.random.PRNGKey(99)).sum())
 
-    reps = 5
+    reps = 8
+    # dispatch all reps asynchronously, sync once at the end — a per-rep
+    # scalar fetch pays one tunnel round-trip each, which is host overhead,
+    # not chip time
     t0 = time.perf_counter()
-    checksum = 0.0
-    for i in range(reps):
-        checksum += float(run(variables, x, y, jax.random.PRNGKey(i)).sum())
+    sums = [run(variables, x, y, jax.random.PRNGKey(i)).sum() for i in range(reps)]
+    checksum = float(jnp.stack(sums).sum())
     dt = time.perf_counter() - t0
 
     ips = batch * reps / dt

@@ -1,0 +1,71 @@
+"""Per-family throughput table (BASELINE.md): the heavy estimator attacks
+where the copies/neighbor axes are where TPU vectorization pays off.
+
+Usage: python scripts/bench_families.py [--batch 32] [--reps 3]
+Prints one JSON line per family; paste the table into BASELINE.md.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+CASES = [
+    # (key, model, kwargs, note)
+    ("mifgsm", "resnet50", {}, "baseline, 10 iters"),
+    ("vmifgsm", "resnet50", {}, "20-neighbor variance tuning"),
+    ("ssm", "resnet50", {}, "20 spectrum copies (DCT)"),
+    ("bsr", "resnet50", {}, "20 block-shuffled copies"),
+    ("ens", ["resnet50", "vgg16", "mobilenet_v2", "inception_v3"], {},
+     "4-CNN logit-mean ensemble"),
+    ("tgr", "vit_base_patch16_224", {}, "ViT surrogate, token-grad surgery"),
+]
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import transferattack_tpu as ta
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", type=str, default="")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 1000, size=(args.batch,)).astype(np.int32))
+
+    for key, model, kwargs, note in CASES:
+        if args.only and key not in args.only.split(","):
+            continue
+        try:
+            atk = ta.load_attack_class(key)(
+                model_name=model, compute_dtype="bfloat16", **kwargs)
+            run = jax.jit(atk.run)
+            v = atk.model.variables
+            t0 = time.perf_counter()
+            _ = float(run(v, x, y, jax.random.PRNGKey(9)).sum())
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs = [run(v, x, y, jax.random.PRNGKey(i)).sum()
+                    for i in range(args.reps)]
+            _ = float(jnp.stack(outs).sum())
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "attack": key, "note": note,
+                "img_per_sec": round(args.batch * args.reps / dt, 2),
+                "batch": args.batch, "compile_s": round(compile_s, 1),
+            }), flush=True)
+        except Exception as exc:
+            print(json.dumps({"attack": key, "error": str(exc)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,11 @@ CASES = [
     ("fpr", dict(VIT), False),
     ("att", dict(VIT, crop_length=8, sample_num_patches=10), False),
     ("setr", dict(VIT), False),
-    ("llta", dict(RN, inner_iters=2, nsample=2, task_num=2), False),
-    ("ll2s", dict(VIT), False),
-    ("ata_vit", dict(VIT), False),
+    ("llta", dict(RN, inner_iters=2, nsample=2, task_num=2, spt_size=4,
+                  qry_size=2), False),
+    ("ll2s", dict(VIT, num_scale=2, ops_num=1, num_robust_tokens=4), False),
+    # ata_vit is a PATCH attack (unbounded delta inside its saliency mask,
+    # ``ata_vit.py:97-128``) — tested separately below
 ]
 
 
@@ -57,6 +59,26 @@ def test_remaining_attack_constraints(toy_batch, name, overrides, targeted):
     adv = x + delta
     assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5, f"{name}: bounds"
     assert np.any(delta != 0), f"{name}: zero perturbation"
+
+
+def test_ata_vit_patch_attack(toy_batch):
+    """ATA-ViT optimizes an unbounded patch inside an entropy-budgeted
+    saliency mask (≈2% of pixels); delta is NOT ε-bounded but must stay
+    inside the mask and keep adv ∈ [0, 1]."""
+    x, y = toy_batch
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("ata_vit")(
+            model_name="vit_small_patch16_224", pretrained=False,
+            input_size=32, epoch=3)
+        delta = np.asarray(atk(x, y % 1000))
+    assert delta.shape == x.shape
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+    assert np.any(delta != 0)
+    # sparsity: the mask limits perturbed pixels to roughly the budget
+    frac = (np.abs(delta) > 1e-6).any(-1).mean()
+    assert frac <= 0.2, f"patch mask too dense: {frac:.3f}"
 
 
 def test_registry_size_covers_reference_zoo():

@@ -87,8 +87,19 @@ class Surrogate:
     variables: Any
     input_size: int
     num_classes: int = 1000
+    # set by Attack.__init__ when compute_dtype='bfloat16': every apply()
+    # entry point (not just get_logits) runs the forward on the MXU-native
+    # dtype and returns fp32 logits — estimator attacks that call
+    # model.apply directly (SSM, FIA, VMI neighbors, ...) get the fast path
+    compute_dtype: Any = None
 
     def apply(self, variables, x, **kwargs):
+        cd = self.compute_dtype
+        if cd is not None and hasattr(x, "dtype") and x.dtype == jnp.float32:
+            out = self.module.apply(variables, x.astype(cd), **kwargs)
+            return jax.tree.map(
+                lambda t: t.astype(jnp.float32)
+                if hasattr(t, "dtype") and t.dtype == cd else t, out)
         return self.module.apply(variables, x, **kwargs)
 
     def feature(self, variables, x, layer: str, **kwargs):
@@ -131,10 +142,18 @@ class Surrogate:
             def filt(mdl, _method):
                 return layer_filter in "/".join(str(p) for p in mdl.path)
 
+        cd = self.compute_dtype
+        if cd is not None and hasattr(x, "dtype") and x.dtype == jnp.float32:
+            x = x.astype(cd)
         logits, state = self.module.apply(
             variables, x, capture_intermediates=filt, mutable=["intermediates"],
             **kwargs,
         )
+        if cd is not None:
+            to32 = lambda t: (t.astype(jnp.float32)
+                              if hasattr(t, "dtype") and t.dtype == cd else t)
+            logits = jax.tree.map(to32, logits)
+            state = jax.tree.map(to32, state)
         return logits, state["intermediates"]
 
 
@@ -231,6 +250,12 @@ def make_model(
     if wpath is not None:
         variables = load_npz_variables(wpath)
     else:
+        if pretrained:
+            # requested pretrained weights but none converted yet — flag the
+            # run so results can't silently pass as paper-comparable
+            from ..utils.weights_manifest import record_fallback
+
+            record_fallback(name)
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
         variables = module.init(rng, dummy)
