@@ -17,48 +17,66 @@ from ..gradient.mifgsm import MIFGSM
 from ..ops.blocks import block_bounds, block_id, bsr_lengths, permute_strips
 
 
+def _lerp_matrix(src, size, dtype):
+    """Banded interpolation operator from per-output source coordinates.
+
+    ``src``: (..., N_out) fractional source positions.  Returns
+    (..., N_out, size) with the two linear-interpolation taps per row; taps
+    falling outside [0, size) contribute zero (the reference's zero fill).
+    Dense on purpose: applied as an einsum it runs on the MXU, whereas the
+    equivalent 2-D gather (and its scatter-add backward) goes through the
+    TPU's scalar gather engine at ~25× the attack's whole model cost
+    (measured 1.66 img/s vs the 20.5 img/s copy-count-bound of SSM).
+    """
+    p0 = jnp.floor(src)
+    w = (src - p0)[..., None]
+    grid = jnp.arange(size, dtype=src.dtype)
+    hit0 = (grid == p0[..., None]).astype(dtype)
+    hit1 = (grid == p0[..., None] + 1.0).astype(dtype)
+    return hit0 * (1.0 - w).astype(dtype) + hit1 * w.astype(dtype)
+
+
 def _rotate_row_strips(x, h_edges, angles):
     """Rotate each row strip around its own center (bilinear, zero outside
-    the strip) via one gather."""
+    the strip) as a Paeth shear triple — three banded einsums on the MXU.
+
+    R(θ) = Shx(−tan θ/2)·Shy(sin θ)·Shx(−tan θ/2); each shear is row- (or
+    column-) local, so the whole resample is three batched matmuls instead
+    of an unstructured 2-D gather.  Interpolation is per-pass linear (the
+    classic three-pass rotation) rather than direct bilinear — same map,
+    equivalent augmentation.
+    """
     B, H, W, C = x.shape
     h_id = block_id(h_edges, H)
     starts, lens = block_bounds(h_edges)
 
-    rows = jnp.arange(H)[:, None]  # (H, 1)
-    cols = jnp.arange(W)[None, :]  # (1, W)
-    k = h_id[:, None]
-    a = starts[k].astype(x.dtype)
-    lh = lens[k].astype(x.dtype)
-    cy = a + (lh - 1) / 2.0
+    rows = jnp.arange(H, dtype=x.dtype)
+    cols = jnp.arange(W, dtype=x.dtype)
+    a = starts[h_id].astype(x.dtype)
+    lh = lens[h_id].astype(x.dtype)
+    cy = a + (lh - 1) / 2.0          # (H,) own-strip center row
     cx = (W - 1) / 2.0
-    theta = angles[h_id][:, None]
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    dy = rows.astype(x.dtype) - cy
-    dx = cols.astype(x.dtype) - cx
-    src_c = cos * dx + sin * dy + cx
-    src_r = -sin * dx + cos * dy + cy
+    theta = angles[h_id]             # (H,)
+    alpha = -jnp.tan(theta / 2.0)
+    beta = jnp.sin(theta)
 
-    r0 = jnp.floor(src_r)
-    c0 = jnp.floor(src_c)
-    wr = src_r - r0
-    wc = src_c - c0
+    # pass 1 (horizontal): src_c = c − α_r·(r − cy_r)
+    src1 = cols[None, :] - (alpha * (rows - cy))[:, None]          # (H, W)
+    M1 = _lerp_matrix(src1, W, x.dtype)                            # (H, W, W)
+    h1 = jnp.einsum("hvw,bhwc->bhvc", M1, x)
 
-    lo_r = starts[k].astype(x.dtype)
-    hi_r = lo_r + lh - 1.0
+    # pass 2 (vertical): src_r = r − β_{k(r)}·(c − cx), taps confined to the
+    # target row's own strip (zero fill outside, as the reference samples)
+    src2 = rows[None, :] - beta[None, :] * (cols[:, None] - cx)    # (W, H)
+    M2 = _lerp_matrix(src2, H, x.dtype)                            # (W, H, H)
+    lo = a[None, :, None]
+    hi = (a + lh - 1.0)[None, :, None]
+    grid_r = jnp.arange(H, dtype=x.dtype)[None, None, :]
+    M2 = M2 * ((grid_r >= lo) & (grid_r <= hi)).astype(x.dtype)
+    h2 = jnp.einsum("cvr,brcj->bvcj", M2, h1)
 
-    def tap(ri, ci):
-        valid = (ri >= lo_r) & (ri <= hi_r) & (ci >= 0) & (ci <= W - 1)
-        ric = jnp.clip(ri, 0, H - 1).astype(jnp.int32)
-        cic = jnp.clip(ci, 0, W - 1).astype(jnp.int32)
-        vals = x[:, ric, cic, :]
-        return vals * valid[None, :, :, None].astype(x.dtype)
-
-    return (
-        tap(r0, c0) * ((1 - wr) * (1 - wc))[None, :, :, None]
-        + tap(r0, c0 + 1) * ((1 - wr) * wc)[None, :, :, None]
-        + tap(r0 + 1, c0) * (wr * (1 - wc))[None, :, :, None]
-        + tap(r0 + 1, c0 + 1) * (wr * wc)[None, :, :, None]
-    )
+    # pass 3 (horizontal): same α shear again — M1 is reused
+    return jnp.einsum("hvw,bhwc->bhvc", M1, h2)
 
 
 def bsr_shuffle_rows_first(x, key, num_block: int, max_angle_deg: float = 24.0):
@@ -85,9 +103,13 @@ def bsr_shuffle_rows_first(x, key, num_block: int, max_angle_deg: float = 24.0):
     perm_rows = jax.random.permutation(kperm_h, num_block)
     rowmap = permute_strips(h_edges, perm_rows, H)  # (H,)
 
-    src_rows = rowmap[:, None]  # (H, 1)
-    src_cols = colmap[h_id[rowmap]][:, :]  # (H, W)
-    return rotated[:, src_rows, src_cols.reshape(H, W), :].reshape(B, H, W, C)
+    # structured axis-take for rows, one-hot einsum for the per-strip column
+    # permutation (MXU; see _lerp_matrix on why not a 2-D gather)
+    taken = jnp.take(rotated, rowmap, axis=1)
+    src_cols = colmap[h_id[rowmap]]  # (H, W)
+    CP = (src_cols[:, :, None]
+          == jnp.arange(W)[None, None, :]).astype(x.dtype)
+    return jnp.einsum("hvw,bhwc->bhvc", CP, taken)
 
 
 def bsr_one_copy(x, key, num_block: int):
