@@ -74,6 +74,10 @@ def get_parser():
                    help="bfloat16 surrogate compute (fp32 updates)")
     p.add_argument("--skip_existing", action="store_true",
                    help="resume: skip batches whose output PNGs already exist")
+    p.add_argument("--checkpoint_every", default=0, type=int,
+                   help="orbax-checkpoint the attack state every N iterations "
+                        "so an interrupted long sweep (T=300 targeted) "
+                        "resumes mid-batch; disables the mesh pipeline")
     p.add_argument("--profile_dir", default="", type=str,
                    help="write a jax.profiler trace of the first batch here")
     return p.parse_args()
@@ -93,7 +97,9 @@ def run_attack(args) -> None:
         args.batchsize = attacker.requires_batchsize
     # generation attacks run a generator forward, not the scan engine —
     # they have no `.run` for the sharded wrapper to jit
-    shardable = hasattr(attacker, "run") and not args.no_mesh
+    resumable = (args.checkpoint_every > 0
+                 and getattr(attacker, "supports_resume", lambda: False)())
+    shardable = hasattr(attacker, "run") and not args.no_mesh and not resumable
     runner = ShardedAttackRunner(attacker, make_mesh()) if shardable else attacker
     dataset = AdvDataset(
         input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
@@ -101,7 +107,8 @@ def run_attack(args) -> None:
     profiled = False
     pending = None
     t_start, n_done = time.perf_counter(), 0
-    for images, labels, names in dataset.as_batches(args.batchsize):
+    for batch_no, (images, labels, names) in enumerate(
+            dataset.as_batches(args.batchsize)):
         if args.skip_existing and all(
             os.path.exists(os.path.join(args.output_dir, n)) for n in names
         ):
@@ -125,6 +132,12 @@ def run_attack(args) -> None:
                 ph, pimages, pnames = pending
                 save_images(args.output_dir, pimages + ph(), pnames)
             pending = (handle, images, names)
+        elif resumable:
+            delta = np.asarray(attacker.call_resumable(
+                images, labels,
+                ckpt_dir=os.path.join(args.output_dir, "_ckpt"),
+                every=args.checkpoint_every, idx=batch_no))
+            save_images(args.output_dir, images + delta, names)
         else:
             delta = np.asarray(runner(images, labels))
             save_images(args.output_dir, images + delta, names)

@@ -127,3 +127,36 @@ def test_ensemble_model(toy_batch):
 def test_unknown_attack_raises():
     with pytest.raises(ValueError):
         ta.load_attack_class("not_an_attack")
+
+
+def test_segmented_resume_bit_identical(tmp_path, toy_batch):
+    """``call_resumable`` (orbax mid-sweep checkpointing, main.py
+    --checkpoint_every) is bit-identical to one long scan, including when the
+    process restarts from an on-disk checkpoint."""
+    import jax
+
+    import transferattack_tpu as ta
+
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn", epoch=6)
+    ref = np.asarray(atk(x, y))
+
+    d_seg = np.asarray(atk.call_resumable(x, y, str(tmp_path / "ck"), every=2))
+    np.testing.assert_array_equal(d_seg, ref)
+
+    # simulate an interrupt: run two iterations, checkpoint, then resume in a
+    # fresh attack instance
+    key = jax.random.PRNGKey(atk.seed)
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    state = atk.init_state(jnp.asarray(x), atk.prepare_labels(y), key)
+    state = atk.run_from(atk.model.variables, jnp.asarray(x),
+                         atk.prepare_labels(y), state, 2)
+    path = str((tmp_path / "ck2" / "batch_00000").resolve())
+    ocp.PyTreeCheckpointer().save(path, state)
+
+    atk2 = ta.load_attack_class("mifgsm")(model_name="toy_cnn", epoch=6)
+    d_res = np.asarray(atk2.call_resumable(x, y, str(tmp_path / "ck2"), every=2))
+    np.testing.assert_array_equal(d_res, ref)
+    assert not (tmp_path / "ck2" / "batch_00000").exists()

@@ -27,6 +27,7 @@ reference (attack.py)          here
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Sequence, Union
 
 import jax
@@ -360,9 +361,65 @@ class Attack:
         state, _ = jax.lax.scan(body, state0, None, length=self.epoch)
         return self.finalize(state, x, y)
 
+    def run_from(self, variables, x: Array, y: Array, state: AttackState,
+                 n_steps: int) -> AttackState:
+        """``n_steps`` iterations starting from an arbitrary ``AttackState``.
+
+        Segmenting the scan this way is bit-identical to one long scan (the
+        PRNG chain lives in the state), which is what makes mid-sweep
+        orbax checkpoint/resume possible for T=300 targeted runs
+        (SURVEY.md §5; driven by ``main.py --checkpoint_every``)."""
+
+        def body(s, _):
+            return self.step(variables, x, y, s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
     def finalize(self, state: AttackState, x: Array, y: Array) -> Array:
         """Final projection; returns delta (reference returns ``delta.detach()``)."""
         return jnp.clip(x + state.delta, img_min, img_max) - x
+
+    def supports_resume(self) -> bool:
+        """Mid-sweep checkpointing needs the stock scan loop (subclasses with
+        bespoke ``run`` bodies — multi-phase attacks — manage their own
+        trajectory) and no per-batch host state."""
+        return type(self).run is Attack.run and self.host_inputs() is None
+
+    def call_resumable(self, data, label, ckpt_dir: str, every: int,
+                       key: Optional[Array] = None, idx: int = 0):
+        """Like ``__call__`` but drives the scan in ``every``-iteration
+        segments, orbax-checkpointing the ``AttackState`` between segments so
+        an interrupted T=300 targeted sweep resumes where it stopped
+        (SURVEY.md §5).  Segmenting is bit-identical to one long scan — the
+        PRNG chain lives in the state (``tests/test_attack_core.py``)."""
+        import shutil
+
+        if not self.supports_resume() or every <= 0 or every >= self.epoch:
+            return self(data, label, key=key, idx=idx)
+        import orbax.checkpoint as ocp
+
+        if key is None:
+            key = jax.random.PRNGKey(self.seed + idx)
+        x = jnp.asarray(data)
+        y = self.prepare_labels(label)
+        state = self.init_state(x, y, key)
+        ckptr = ocp.PyTreeCheckpointer()
+        path = os.path.abspath(os.path.join(ckpt_dir, f"batch_{idx:05d}"))
+        if os.path.exists(path):
+            state = ckptr.restore(path, item=state)
+        done = int(state.step)
+        if getattr(self, "_jitted_seg", None) is None:
+            self._jitted_seg = jax.jit(self.run_from, static_argnums=(4,))
+        while done < self.epoch:
+            n = min(every, self.epoch - done)
+            state = self._jitted_seg(self.model.variables, x, y, state, n)
+            done += n
+            if done < self.epoch:
+                jax.block_until_ready(state.delta)
+                ckptr.save(path, state, force=True)
+        shutil.rmtree(path, ignore_errors=True)
+        return self.finalize(state, x, y)
 
     def host_inputs(self):
         """Per-batch arrays prepared host-side in ``__call__`` and consumed by
