@@ -52,15 +52,22 @@ def main():
             t0 = time.perf_counter()
             _ = float(run(v, x, y, jax.random.PRNGKey(9)).sum())
             compile_s = time.perf_counter() - t0
+            # calibrate reps for >=10s of device work so the ~1s tunnel
+            # round-trip cannot dominate the measurement
+            t0 = time.perf_counter()
+            _ = float(run(v, x, y, jax.random.PRNGKey(10)).sum())
+            est = time.perf_counter() - t0
+            reps = max(args.reps, int(10.0 / max(est, 1e-3)) + 1)
             t0 = time.perf_counter()
             outs = [run(v, x, y, jax.random.PRNGKey(i)).sum()
-                    for i in range(args.reps)]
+                    for i in range(reps)]
             _ = float(jnp.stack(outs).sum())
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "attack": key, "note": note,
-                "img_per_sec": round(args.batch * args.reps / dt, 2),
-                "batch": args.batch, "compile_s": round(compile_s, 1),
+                "img_per_sec": round(args.batch * reps / dt, 2),
+                "batch": args.batch, "reps": reps,
+                "compile_s": round(compile_s, 1),
             }), flush=True)
         except Exception as exc:
             print(json.dumps({"attack": key, "error": str(exc)[:200]}),

@@ -141,3 +141,68 @@ def test_converter_full_resnet18_roundtrip():
     merged, report = reconcile_with_module(converted, m.variables)
     assert not report["missing"], report["missing"][:5]
     assert not report["mismatched"], report["mismatched"][:5]
+
+
+def test_bn_folding_exact():
+    """``fold_bn_variables`` + ``FoldedBN`` are an exact rewrite: logits and
+    input gradients match the stock BatchNorm path (perf toggle, off by
+    default — BASELINE.md structural experiments)."""
+    import jax
+    import jax.numpy as jnp
+
+    import transferattack_tpu.models.resnet as rn
+    from transferattack_tpu.models import make_model
+
+    m = make_model("resnet18", input_size=32)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(2, 32, 32, 3).astype(np.float32))
+    ref = m.apply(m.variables, x)
+    gref = jax.grad(lambda xx: m.apply(m.variables, xx).sum())(x)
+
+    folded = rn.fold_bn_variables(
+        {"params": m.variables["params"]["backbone"],
+         "batch_stats": m.variables["batch_stats"]["backbone"]})
+    v2 = dict(m.variables)
+    v2["params"] = {"backbone": folded["params"]}
+    v2["batch_stats"] = {"backbone": folded["batch_stats"]}
+
+    old = rn._BN_IMPL
+    rn._BN_IMPL = "folded"
+    try:
+        m2 = make_model("resnet18", input_size=32)
+        out = m2.module.apply(v2, x)
+        g = jax.grad(lambda xx: m2.module.apply(v2, xx).sum())(x)
+    finally:
+        rn._BN_IMPL = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+    corr = np.corrcoef(np.asarray(g).ravel(), np.asarray(gref).ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_mask_relu_and_sep_maxpool_match_defaults():
+    """The ``TA_TPU_RELU=mask`` and ``TA_TPU_MAXPOOL=sep`` perf toggles are
+    mathematically identical to the default paths."""
+    import jax
+    import jax.numpy as jnp
+
+    import transferattack_tpu.models.resnet as rn
+
+    x = jnp.asarray(
+        np.random.RandomState(5).randn(2, 8, 8, 4).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(rn.mask_relu(x)),
+                               np.asarray(jax.nn.relu(x)))
+    g1 = jax.grad(lambda v: (rn.mask_relu(v) ** 2).sum())(x)
+    g2 = jax.grad(lambda v: (jax.nn.relu(v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+    joint = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    rows = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        [(0, 0), (1, 1), (0, 0), (0, 0)])
+    sep = jax.lax.reduce_window(
+        rows, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+        [(0, 0), (0, 0), (1, 1), (0, 0)])
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(joint))

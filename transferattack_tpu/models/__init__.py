@@ -259,6 +259,22 @@ def make_model(
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
         variables = module.init(rng, dummy)
+    if os.environ.get("TA_TPU_BN") == "folded" and (
+            name.startswith(("resnet", "resnext", "wide_resnet"))):
+        # exact conv←BN scale folding (see resnet.FoldedBN); load-time only
+        from .resnet import fold_bn_variables
+
+        sub = fold_bn_variables({
+            "params": variables["params"]["backbone"],
+            "batch_stats": variables.get(
+                "batch_stats", {}).get("backbone", {}),
+        })
+        variables = dict(variables)
+        variables["params"] = {**variables["params"],
+                               "backbone": sub["params"]}
+        if "batch_stats" in variables:
+            variables["batch_stats"] = {**variables["batch_stats"],
+                                        "backbone": sub.get("batch_stats", {})}
     return Surrogate(
         name=name,
         module=module,

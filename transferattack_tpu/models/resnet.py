@@ -25,6 +25,7 @@ Gradient-surgery knobs (used by model_related attacks):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -32,6 +33,95 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import register_model
+
+# perf experiment toggles (read once at import; see BASELINE.md perf notes)
+_RELU_IMPL = os.environ.get("TA_TPU_RELU", "plain")
+_MAXPOOL_IMPL = os.environ.get("TA_TPU_MAXPOOL", "fused")
+
+
+@jax.custom_vjp
+def mask_relu(x):
+    """ReLU that saves its backward mask as a same-dtype 0/1 tensor and
+    multiplies, instead of letting XLA bitpack a PRED mask and re-expand it
+    in the backward (the convert/reduce machinery in the bench profile)."""
+    return jax.nn.relu(x)
+
+
+def _mask_relu_fwd(x):
+    return jax.nn.relu(x), (x > 0).astype(x.dtype)
+
+
+def _mask_relu_bwd(mask, g):
+    return (g * mask,)
+
+
+mask_relu.defvjp(_mask_relu_fwd, _mask_relu_bwd)
+
+
+def plain_relu(x):
+    return mask_relu(x) if _RELU_IMPL == "mask" else jax.nn.relu(x)
+
+
+_BN_IMPL = os.environ.get("TA_TPU_BN", "bn")
+
+
+class FoldedBN(nn.Module):
+    """Bias-only stand-in for an inference-mode BatchNorm whose scale has
+    been folded into the preceding conv kernel (``fold_bn_variables``).
+
+    The multiply by ``scale·rsqrt(var+eps)`` cannot be eliminated by XLA
+    because the parameters are runtime arguments, so with the stock
+    BatchNorm every backward pass pays a full-tensor multiply between each
+    transposed conv and its ReLU mask; folding moves it into the conv
+    weights once at load time."""
+
+    @nn.compact
+    def __call__(self, x):
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return x + b.astype(x.dtype)
+
+
+def fold_bn_variables(variables, eps: float = 1e-5):
+    """Fold every conv→BN pair's scale into the conv kernel (exact rewrite).
+
+    Returns a new variables tree: ``kernel *= scale·rsqrt(var+eps)`` per
+    output channel, ``bias ← bias − mean·scale·rsqrt(var+eps)``, and the BN
+    stats neutralized (scale=1, mean=0, var=1−eps) so the tree stays valid
+    for the stock module too.  Pairs are matched by name within each module
+    dict (``bnN`` ↔ ``convN``, ``downsample_bn`` ↔ ``downsample_conv``)."""
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+
+    def walk(p, s):
+        for k, v in list(p.items()):
+            if isinstance(v, dict):
+                walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+        for bnk in list(p.keys()):
+            if bnk.startswith("bn"):
+                convk = "conv" + bnk[2:]
+            elif bnk == "downsample_bn":
+                convk = "downsample_conv"
+            else:
+                continue
+            bn_p, bn_s = p.get(bnk), s.get(bnk) if isinstance(s, dict) else None
+            if (not isinstance(bn_p, dict) or "scale" not in bn_p
+                    or bn_s is None or convk not in p):
+                continue
+            mult = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+            p[convk]["kernel"] = p[convk]["kernel"] * mult
+            bn_p["bias"] = bn_p["bias"] - bn_s["mean"] * mult
+            bn_p["scale"] = jnp.ones_like(bn_p["scale"])
+            bn_s["mean"] = jnp.zeros_like(bn_s["mean"])
+            bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - eps)
+
+    walk(params, stats)
+    out = dict(variables)
+    out["params"] = params
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -162,6 +252,8 @@ def conv(features, kernel, stride=1, groups=1, name=None):
 
 
 def bn(name):
+    if _BN_IMPL == "folded":
+        return FoldedBN(name=name)
     return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5, name=name)
 
 
@@ -249,7 +341,7 @@ def _inner_act(x, s: SurgeryConfig, block_index: int, stage_first: bool,
         # (``sgm.py:78-80``) — i.e. the first block of each stage keeps
         # plain ReLU backward.
         return scaled_grad_relu(x, s.gamma)
-    return jax.nn.relu(x)
+    return plain_relu(x)
 
 
 def _final_act(x, s: SurgeryConfig, block_index: int):
@@ -264,7 +356,7 @@ def _final_act(x, s: SurgeryConfig, block_index: int):
     if s.gamma != 1.0:
         # SGM's block-level norm hook (see std_norm_relu docstring)
         return std_norm_relu(x)
-    return jax.nn.relu(x)
+    return plain_relu(x)
 
 
 def _linbp_block_main(mdl: nn.Module, x):
@@ -490,6 +582,17 @@ class ResNet(nn.Module):
         x = _inner_act(x, s, -1, False)
         if s.bpa_maxpool:
             x = softmax_maxpool(x, s.bpa_temperature)
+        elif _MAXPOOL_IMPL == "sep":
+            # separable 3×3/2 max: two 1-D maxes are exact and replace one
+            # large select-and-scatter backward with two much smaller ones
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+                [(0, 0), (1, 1), (0, 0), (0, 0)],
+            )
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+                [(0, 0), (0, 0), (1, 1), (0, 0)],
+            )
         else:
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
