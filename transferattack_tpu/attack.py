@@ -237,7 +237,22 @@ class Attack:
         return dict(zip(self.rng_collections, keys))
 
     def get_logits(self, variables, xs: Array, rngs=None) -> Array:
-        """Forward pass. ``xs``: (n, B, H, W, C) → logits (n, B, num_classes)."""
+        """Forward pass. ``xs``: (n, B, H, W, C) → logits (n, B, num_classes).
+
+        ``self.logits_chunk`` (attacks may set it) runs the copies axis in
+        sequential ``lax.map`` groups of that size — a pressure valve for
+        graphs whose single fused n·B pass trips TPU runtime faults at
+        bfloat16 (observed for IDAA's warp stack at n·B = 320 on v5e)."""
+        n, b = xs.shape[0], xs.shape[1]
+        chunk = getattr(self, "logits_chunk", None)
+        if chunk and n > chunk and n % chunk == 0:
+            groups = xs.reshape((n // chunk, chunk) + xs.shape[1:])
+            logits = jax.lax.map(
+                lambda g: self._logits_flat(variables, g, rngs), groups)
+            return logits.reshape((n, b) + logits.shape[3:])
+        return self._logits_flat(variables, xs, rngs)
+
+    def _logits_flat(self, variables, xs: Array, rngs=None) -> Array:
         n, b = xs.shape[0], xs.shape[1]
         flat = xs.reshape((n * b,) + xs.shape[2:])
         if self.copies_sharding is not None:

@@ -61,6 +61,11 @@ class DeCowA(Attack):
     """Official args (``decowa.py:28``): mesh 3×3, rho=0.01, num_warping=20,
     noise_scale=2."""
 
+    # the TPS-warp double-grad graph faults the v5e TPU runtime at bfloat16
+    # with batch 32 (kernel fault in a fused backward); 8 and 16 run clean,
+    # so the CLI driver caps the batch here
+    requires_batchsize = 16
+
     def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
                  decay=1.0, mesh_width=3, mesh_height=3, rho=0.01, num_warping=20,
                  noise_scale=2.0, targeted=False, random_start=False, norm="linfty",
@@ -74,6 +79,48 @@ class DeCowA(Attack):
         self.num_warping = int(num_warping)
         self.noise_scale = float(noise_scale)
 
+    def _tps_operator(self, H: int, W: int):
+        """(H·W, k+3) operator M with ``grid = M @ [dst; 0]``.
+
+        The TPS system matrix depends only on the *static* 3×3 control grid,
+        so the 12×12 solve happens once on the host in numpy — the traced
+        graph sees a single small matmul instead of ``jnp.linalg.solve``
+        (TPU linalg in a grad-inside-``lax.map`` context also crashed the
+        TPU worker in round-2 testing)."""
+        key = (H, W)
+        if getattr(self, "_tps_cache", None) is None:
+            self._tps_cache = {}
+        if key not in self._tps_cache:
+            import numpy as np
+
+            # pure numpy (the jnp helper would trace under jit)
+            gx, gy = np.meshgrid(
+                np.linspace(-1.0, 1.0, self.mesh_width, dtype=np.float32),
+                np.linspace(-1.0, 1.0, self.mesh_height, dtype=np.float32))
+            src = np.stack([gx.ravel(), gy.ravel()], axis=1)
+            k = src.shape[0]
+            D2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+            K = D2 * np.log(D2 + 1e-9)
+            P = np.concatenate([np.ones((k, 1), np.float32), src], axis=1)
+            L = np.zeros((k + 3, k + 3), np.float64)
+            L[:k, :k] = K
+            L[:k, k:] = P
+            L[k:, :k] = P.T
+            L_inv = np.linalg.inv(L)
+            xs = np.linspace(-1.0, 1.0, W, dtype=np.float32)
+            ys = np.linspace(-1.0, 1.0, H, dtype=np.float32)
+            gx, gy = np.meshgrid(xs, ys)
+            pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+            D2g = ((pts[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+            U = D2g * np.log(D2g + 1e-9)
+            Pg = np.concatenate([np.ones((pts.shape[0], 1), np.float32), pts],
+                                axis=1)
+            # grid = [U, Pg] @ L_inv @ [dst; 0]: only the first k columns of
+            # L_inv see nonzero rows of the RHS
+            M = np.concatenate([U, Pg], axis=1) @ L_inv[:, :k]
+            self._tps_cache[key] = jnp.asarray(M.astype(np.float32))
+        return self._tps_cache[key]
+
     def _warp(self, x, noise_map):
         """Warp with interior control points displaced by ``noise_map``."""
         H, W = x.shape[1], x.shape[2]
@@ -81,7 +128,7 @@ class DeCowA(Attack):
         mod = jnp.zeros((self.mesh_height, self.mesh_width, 2), x.dtype)
         mod = mod.at[1 : self.mesh_height - 1, 1 : self.mesh_width - 1].set(noise_map)
         dst = src + mod.reshape(-1, 2)
-        grid = tps_grid(src, dst, H, W)
+        grid = (self._tps_operator(H, W) @ dst).reshape(H, W, 2)
         return grid_sample(x, jnp.broadcast_to(grid[None], (x.shape[0],) + grid.shape))
 
     def _model_loss(self, variables, pts, y):

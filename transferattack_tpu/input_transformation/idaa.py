@@ -78,6 +78,11 @@ class IDAA(Attack):
                          targeted=targeted, random_start=random_start, norm=norm,
                          loss=loss, attack=attack, **kwargs)
         self.num_scale = int(num_scale)
+        # the fused warp+model pass faults the v5e runtime at bfloat16 once
+        # the effective batch reaches ~160 (n·B = 320 and chunk-of-5 → 160
+        # both crashed; 64 and 80 run); two copies per sequential group
+        # keeps the default B=32 at effective 64
+        self.logits_chunk = 2
         self.gamma = float(gamma)
         self.mixup_num = int(mixup_num)
         self.mixup_alpha = float(mixup_alpha)
@@ -92,9 +97,10 @@ class IDAA(Attack):
 
     def transform(self, x, state: AttackState, key):
         keys = jax.random.split(key, self.num_scale)
-        copies = jnp.stack(
-            [_random_augment(x, k, self.aug_p) for k in keys]
-        )
+        # vmap, not a Python loop: an unrolled loop repeats the two
+        # grid_sample warps (8 gathers each) per copy in the HLO and blew
+        # the TPU compile past 10 minutes at batch 32
+        copies = jax.vmap(lambda k: _random_augment(x, k, self.aug_p))(keys)
         kmix = jax.random.fold_in(key, 999)
         return _local_mixup(copies, kmix, self.mixup_alpha, self.mixup_num)
 

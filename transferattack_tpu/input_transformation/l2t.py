@@ -111,7 +111,6 @@ class L2T(Attack):
 
     def get_grad(self, variables, x, y, state: AttackState, key):
         aug_param = state.extra["aug_param"]
-        probs = jax.nn.softmax(aug_param)
         keys = jax.random.split(key, self.num_scale)
 
         def chain_loss(delta, ids, k):
@@ -122,13 +121,17 @@ class L2T(Attack):
             logits = self.model.apply(variables, pt)
             return self.get_loss(logits[None], y)
 
-        total_grad = jnp.zeros_like(x)
-        aug_grad = jnp.zeros_like(aug_param)
-        for i in range(self.num_scale):
-            k1, k2 = jax.random.split(keys[i])
+        # vmap, not a Python loop: unrolling repeats the model fwd+bwd and
+        # every lax.switch branch per copy in the HLO, which blew the TPU
+        # compile up (and a lax.map variant crashed the server-side
+        # compiler); under vmap the op switch lowers to compute-and-select
+        # over the 10 cheap augmentations while the model runs one batched
+        # pass over the copies
+        def one_copy(k):
+            k1, k2 = jax.random.split(k)
             ids = jax.random.categorical(k1, aug_param, shape=(self.ops_num,))
             loss_i, g_i = jax.value_and_grad(chain_loss)(state.delta, ids, k2)
-            total_grad = total_grad + g_i / self.num_scale
+
             # REINFORCE: ∂(p_chain·loss)/∂θ with loss treated as constant
             def log_prob(theta):
                 p = jax.nn.softmax(theta)
@@ -137,9 +140,9 @@ class L2T(Attack):
                     tp = tp * p[ids[j]]
                 return tp
 
-            aug_grad = aug_grad + jax.lax.stop_gradient(loss_i) * jax.grad(
-                log_prob
-            )(aug_param) / self.num_scale
+            ag_i = jax.lax.stop_gradient(loss_i) * jax.grad(log_prob)(aug_param)
+            return g_i, ag_i
 
-        new_param = aug_param + self.aug_lr * aug_grad
-        return total_grad, {"aug_param": new_param}
+        g, ag = jax.vmap(one_copy)(keys)
+        new_param = aug_param + self.aug_lr * ag.mean(0)
+        return g.mean(0), {"aug_param": new_param}

@@ -31,7 +31,16 @@ def affine_grid(theta, H: int, W: int):
 
 def grid_sample(x, grid):
     """Bilinear zero-padded sample. ``x``: (B,H,W,C); ``grid``: (B,Ho,Wo,2)
-    normalized (x, y) coords, align_corners=False."""
+    normalized (x, y) coords, align_corners=False.
+
+    The taps (and therefore the backward scatter-add) run in float32
+    regardless of input dtype: bfloat16 gather/scatter kernels at batch ≳32
+    were implicated in TPU v5e runtime faults during round-2 testing
+    (IDAA/DeCowA sweeps), and fp32 tap arithmetic also avoids bf16
+    interpolation error in the warp itself."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    grid = grid.astype(jnp.float32)
     B, H, W, C = x.shape
     gx = (grid[..., 0] + 1.0) * W / 2.0 - 0.5
     gy = (grid[..., 1] + 1.0) * H / 2.0 - 0.5
@@ -58,7 +67,7 @@ def grid_sample(x, grid):
         + gather(x0, y1) * (wx0 * wy1)[..., None]
         + gather(x1, y1) * (wx1 * wy1)[..., None]
     )
-    return out
+    return out.astype(in_dtype)
 
 
 def affine_warp(x, theta):
