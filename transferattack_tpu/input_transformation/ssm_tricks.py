@@ -107,12 +107,17 @@ class ODI(SSM):
             def run(operand):
                 xx, kk = operand
                 keys = jax.random.split(kk, B)
-                return jax.vmap(
-                    lambda img, k: render_odi(
-                        img, self._meshes[i], self._settings[i],
-                        self._tex_sizes[i], k, H, W,
-                    )
-                )(xx, keys)
+                # lax.map, not vmap: each rasterize scan step materializes
+                # ~300 MB of (face-chunk × pixel) edge functions per image;
+                # vmapped over a 32-image batch that is ~10 GB per step and
+                # faults the v5e worker.  Geometry carries no texture
+                # gradient, so sequential per-image rendering costs nothing
+                # in the backward pass.
+                return jax.lax.map(
+                    lambda ik: render_odi(
+                        ik[0], self._meshes[i], self._settings[i],
+                        self._tex_sizes[i], ik[1], H, W,
+                    ), (xx, keys))
 
             return run
 
