@@ -192,6 +192,20 @@ def run_eval(args) -> None:
         names = cnn_model_paper + vit_model_paper
     res = "|"
     records = []
+    # fallbacks from the attack run that produced these PNGs live in the
+    # output dir's attack_meta.json — surface them in the eval records too,
+    # so an eval over fallback-generated images is flagged as such
+    attack_fallbacks = []
+    meta_path = os.path.join(args.output_dir, "attack_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        try:
+            with open(meta_path) as f:
+                attack_fallbacks = list(
+                    json.load(f).get("fallback_weights_used", []))
+        except (ValueError, OSError):
+            pass
     for name in names:
         surrogate = make_model(name)
         if args.bf16:
@@ -228,7 +242,8 @@ def run_eval(args) -> None:
         records.append({"output_dir": args.output_dir, "attack": args.attack,
                         "eval_model": name, "asr": round(asr, 2),
                         "targeted": bool(args.targeted),
-                        "fallback_weights_used": fallback_weights_used()})
+                        "fallback_weights_used": fallback_weights_used(),
+                        "attack_fallback_weights_used": attack_fallbacks})
     print(res)
     # reference-compatible markdown row (``main.py:75-77``) + structured
     # JSON records for programmatic consumers (SURVEY.md §5 observability)

@@ -116,3 +116,32 @@ def test_ll2s_strategy_pool_and_reinforce():
     assert "robust_tokens" in updates  # dynamic token step happened
     assert float(jnp.abs(updates["robust_tokens"]
                          - state.extra["robust_tokens"]).max()) > 0
+
+
+def test_ll2s_rest_gate_disables_extra_slots():
+    """Regression (ADVICE r2 high): non-REST layers must fully disable the
+    extra kv slots.  The old poisoned-key gate (k_ext = -1e9) gave attention
+    logits q·k = -1e9·sum(q) — *positive* huge for negative-sum queries, so
+    softmax collapsed onto the disabled slot.  With score-level gating, the
+    surgered forward with every op != REST equals the plain forward."""
+    import jax
+    import jax.numpy as jnp
+
+    import transferattack_tpu as ta
+
+    atk = ta.load_attack_class("ll2s")(
+        model_name="vit_small_patch16_224", pretrained=False, input_size=32,
+        num_scale=2, ops_num=1, num_robust_tokens=2)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 1000, size=(2,)))
+    state = atk.init_state(x, y, jax.random.PRNGKey(0))
+    rest_kv = state.extra["rest_kv"]
+    # op id 7 matches none of (REST=0, sparse=1, shuffle=2, MoE=3): the only
+    # active surgery path is kv_extra with use=0
+    ops = jnp.full((atk.num_layers,), 7)
+    mod = atk._op_module(ops, rest_kv, jax.random.PRNGKey(3))
+    surgered = mod.apply(atk.model.variables, x)
+    plain = atk.model.module.apply(atk.model.variables, x)
+    np.testing.assert_allclose(np.asarray(surgered), np.asarray(plain),
+                               rtol=2e-4, atol=2e-4)

@@ -247,8 +247,21 @@ class Attack:
         chunk = getattr(self, "logits_chunk", None)
         if chunk and n > chunk and n % chunk == 0:
             groups = xs.reshape((n // chunk, chunk) + xs.shape[1:])
-            logits = jax.lax.map(
-                lambda g: self._logits_flat(variables, g, rngs), groups)
+            gi = jnp.arange(n // chunk)
+            if rngs is not None:
+                # fold the group index into the keys so rng-consuming
+                # surrogates (ghost scale draws, PatchOut masks) draw fresh
+                # noise per group — matching the single fused pass this
+                # chunking stands in for
+                logits = jax.lax.map(
+                    lambda args: self._logits_flat(
+                        variables, args[0],
+                        jax.tree.map(
+                            lambda k: jax.random.fold_in(k, args[1]), rngs)),
+                    (groups, gi))
+            else:
+                logits = jax.lax.map(
+                    lambda g: self._logits_flat(variables, g, None), groups)
             return logits.reshape((n, b) + logits.shape[3:])
         return self._logits_flat(variables, xs, rngs)
 
@@ -460,17 +473,32 @@ class Attack:
         x = jnp.asarray(data)
         y = self.prepare_labels(label)
         pad = 0
+        orig_b = x.shape[0]
         if self._jitted_run is not None and self._compiled_batch is not None \
                 and x.shape[0] < self._compiled_batch \
                 and x.shape[1:] == self._compiled_shape[1:]:
             pad = self._compiled_batch - x.shape[0]
-            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-            y = jnp.concatenate([y, jnp.repeat(y[-1:], pad, axis=0)], axis=0)
+            # pad by CYCLING the real samples (not repeating the last one):
+            # batch-coupled mixers (Admix/USMM draw mix partners uniformly
+            # from the batch) then sample uniformly over the real images —
+            # the same pool the reference sees on its natural-size ragged
+            # batch — instead of a pool skewed toward one duplicate.
+            wrap = jnp.arange(self._compiled_batch) % orig_b
+            x, y = x[wrap], y[wrap]
         if self._jitted_run is None:
             self._jitted_run = jax.jit(self.run)
             self._compiled_batch = x.shape[0]
             self._compiled_shape = x.shape
         host = self.host_inputs()
+        if host is not None and pad:
+            # host-side per-batch arrays (AA's anchor batch) must ride the
+            # same padding or the jitted run sees mismatched batch dims
+            wrap = jnp.arange(self._compiled_batch) % orig_b
+            host = jax.tree.map(
+                lambda a: a[wrap]
+                if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == orig_b
+                else a,
+                host)
         if host is None:
             delta = self._jitted_run(self.model.variables, x, y, key)
         else:

@@ -149,8 +149,10 @@ def op_hue(x, key, delta=0.2):
     B = x.shape[0]
     d = jax.random.uniform(key, (B, 1, 1), minval=-delta, maxval=delta)
     hsv = _rgb_to_hsv(x)
-    hsv = hsv.at[..., 0].add(d)
-    hsv = jnp.clip(hsv, 0.0, 1.0)
+    # hue is circular: torchvision adjust_hue wraps mod 1.0 (clipping would
+    # saturate reds near the 0/1 boundary instead of rotating through)
+    hsv = hsv.at[..., 0].set(jnp.mod(hsv[..., 0] + d, 1.0))
+    hsv = hsv.at[..., 1:].set(jnp.clip(hsv[..., 1:], 0.0, 1.0))
     return _hsv_to_rgb(hsv)
 
 

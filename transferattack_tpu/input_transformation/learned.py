@@ -485,7 +485,10 @@ class AITL(MIFGSM):
         # the reference draws the 5 combos once per batch, before the loop
         # (``aitl.py:68-72``); derive a per-batch key from the data so
         # batches differ while iterations within a batch agree
-        salt = (jnp.abs(x).sum() * 1e4).astype(jnp.int32)
+        # bounded salt: |x|.sum()*1e4 overflows int32 for ≥6 224² images,
+        # saturating every batch to the same value — mod first to keep the
+        # per-batch variation the combo draw relies on
+        salt = jnp.mod(jnp.abs(x).sum() * 1e4, 1e6).astype(jnp.int32)
         k = jax.random.fold_in(jax.random.PRNGKey(self.seed + 131), salt)
         return {"aitl_lists": jax.lax.stop_gradient(
             self._transform_lists(x, k))}

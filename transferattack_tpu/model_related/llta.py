@@ -271,11 +271,13 @@ class LL2S(MIFGSM):
         def kv_extra(meta):
             b = meta["block"]
             use = (ops[b] == 0).astype(rest_kv.dtype)
-            # zero extras ≡ disabled only approximately; gate via where on a
-            # degenerate -inf key instead: a key of -1e9·(1-use) removes the
-            # extra slots from the softmax when the op is not REST
-            k_ext = rest_kv[0] * use + (1 - use) * (-1e9)
-            return k_ext, rest_kv[1] * use
+            # Gate at the SCORE level: the extra columns get a -1e9 logit
+            # bias whenever the layer op is not REST, so softmax assigns them
+            # ~0 mass regardless of q.  (A poisoned key of -1e9 would make
+            # q·k = -1e9·sum(q) — *positive* huge for negative-sum queries —
+            # collapsing attention onto the disabled slot.)
+            bias = (use - 1.0) * 1e9
+            return rest_kv[0], rest_kv[1] * use, bias
 
         def attn_post(attn, meta):
             b = meta["block"]

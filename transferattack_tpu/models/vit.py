@@ -49,12 +49,17 @@ class ViTSurgery:
     attn_post: Optional[Callable] = None  # forward-mode attention map edit
     attn_pre: Optional[Callable] = None   # forward edit of attention input
                                           # tokens; fn(x, meta, rng) (SAPR)
-    kv_extra: Optional[Callable] = None   # fn(meta) -> (k_ext, v_ext), each
-                                          # (B, h, R, dh) appended along the
-                                          # key axis (LL2S REST attack: the
-                                          # reference also appends q rows but
-                                          # truncates their outputs, which is
-                                          # equivalent to appending k/v only)
+    kv_extra: Optional[Callable] = None   # fn(meta) -> (k_ext, v_ext[, bias]),
+                                          # k/v each (B, h, R, dh) appended
+                                          # along the key axis (LL2S REST
+                                          # attack: the reference also appends
+                                          # q rows but truncates their outputs,
+                                          # which is equivalent to appending
+                                          # k/v only).  Optional ``bias`` is
+                                          # added to the extra R pre-softmax
+                                          # score columns (broadcastable to
+                                          # (B, h, N, R)) — a -1e9 bias
+                                          # disables the slots regardless of q
     mlp_hidden_post: Optional[Callable] = None  # forward edit of the mlp
                                           # hidden activation; fn(h, meta)
                                           # (LL2S MoE: averaging the linear
@@ -123,12 +128,21 @@ class Attention(nn.Module):
         qkv = apply_bwd_hook(qkv, s.qkv_bwd, meta)
         qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
+        ext_bias = None
         if s.kv_extra is not None:
-            k_ext, v_ext = s.kv_extra(meta)
+            ext = s.kv_extra(meta)
+            k_ext, v_ext = ext[0], ext[1]
+            if len(ext) > 2:
+                ext_bias = ext[2]
             k = jnp.concatenate([k, k_ext.astype(k.dtype)], axis=2)
             v = jnp.concatenate([v, v_ext.astype(v.dtype)], axis=2)
 
         attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim**-0.5)
+        if ext_bias is not None:
+            # per-slot logit bias on the appended columns only: disabling a
+            # slot must not depend on q (a poisoned key of -1e9 flips sign
+            # with sum(q) — the bias form is unconditional)
+            attn = attn.at[..., N:].add(jnp.asarray(ext_bias, attn.dtype))
         attn = apply_bwd_hook(attn, s.scores_bwd, meta)
         attn = jax.nn.softmax(attn, axis=-1)  # (B, h, N, N[+R])
         if s.attn_post is not None:
