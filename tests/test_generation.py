@@ -144,3 +144,36 @@ def test_diffattack_attention_control_changes_result():
         d_off = np.asarray(off(x, y))
     assert np.abs(d_on - d_off).max() > 1e-6, \
         "attention-control terms had no effect"
+
+
+def test_diffattack_sd_backend_runs():
+    """The SD backend drives the full pipeline — CLIP prompt encode, VAE
+    encode, DDIM invert, CFG decode with AttentionStore (self + text
+    cross-attn), latent AdamW, VAE decode — at a tiny config
+    (reference ``generation/diffattack.py:38-1766``)."""
+    from transferattack_tpu.generation.sd_text import CLIPTextEncoder
+    from transferattack_tpu.generation.sd_unet import SDUNet
+    from transferattack_tpu.generation.sd_vae import SDVAE
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    y = np.asarray([3, 5], np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("diffattack")(
+            backend="sd", model_name="toy_cnn",
+            diffusion_steps=4, start_step=2, iterations=2, image_size=32,
+            unet=SDUNet(block_out_channels=(16, 32), layers_per_block=1,
+                        heads=2, cross_attention_dim=16, norm_groups=8),
+            vae=SDVAE(block_out_channels=(16, 32), layers_per_block=1,
+                      groups=8),
+            text=CLIPTextEncoder(vocab_size=49408, width=16, layers=1,
+                                 heads=2),
+        )
+        delta = np.asarray(atk(x, y))
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+    assert np.any(delta != 0)
+    from transferattack_tpu.utils.weights_manifest import fallback_weights_used
+
+    assert "sd_unet" in fallback_weights_used()

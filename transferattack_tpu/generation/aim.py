@@ -100,7 +100,24 @@ class AIM(GenerativeAttack):
         return adv - x
 
 
-class DiffAttack:
+def DiffAttack(backend: str = "auto", **kwargs):
+    """Factory: the real Stable-Diffusion pipeline when converted SD
+    artifacts exist (``generation/diffattack_sd.py`` — UNet with text
+    cross-attention, VAE, CLIP text encoder), else the guided-diffusion
+    stand-in below.  ``backend='sd'|'gd'`` forces a choice (tests use 'sd'
+    with tiny random-init modules)."""
+    if backend == "auto":
+        from .diffattack_sd import sd_weights_present
+
+        backend = "sd" if sd_weights_present() else "gd"
+    if backend == "sd":
+        from .diffattack_sd import SDDiffAttack
+
+        return SDDiffAttack(**kwargs)
+    return DiffAttackGD(**kwargs)
+
+
+class DiffAttackGD:
     """Unrestricted diffusion-latent attack (``diffattack.py:38-1766``).
 
     The reference drives Stable Diffusion 1.5 through diffusers: DDIM-invert

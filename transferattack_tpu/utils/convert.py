@@ -81,6 +81,20 @@ _REWRITES = [
     (re.compile(r"(^|/)(features_\d+)_1(?=/)"), r"\1\2/bn"),
     (re.compile(r"(conv_\d+)_0(?=/)"), r"\1/conv"),
     (re.compile(r"(conv_\d+)_1(?=/)"), r"\1/bn"),
+    # Stable-Diffusion stack (diffusers UNet/VAE + HF CLIP text encoder):
+    # join the sampler/FF Sequentials into the single Flax module names
+    (re.compile(r"(downsamplers_0|upsamplers_0)/conv"), r"\1_conv"),
+    (re.compile(r"ff/net_0/proj"), "ff/net_0_proj"),
+    # HF CLIPTextModel: drop the text_model/encoder wrappers (our
+    # CLIPTextEncoder is the flat text tower); the token embedding is an
+    # nn.Embed table (leaf 'embedding', no transpose) and the position
+    # embedding a bare (77, width) param
+    (re.compile(r"^text_model/encoder/"), ""),
+    (re.compile(r"^text_model/"), ""),
+    (re.compile(r"^embeddings/token_embedding/weight$"),
+     "token_embedding/embedding"),
+    (re.compile(r"^embeddings/position_embedding/weight$"),
+     "position_embedding"),
 ]
 
 
@@ -227,6 +241,63 @@ def convert_and_save(name: str, state_dict_path: str, out_dir: str = None) -> st
     return path
 
 
+_SD_MODULES = {
+    "sd_unet": lambda: _sd_module("unet"),
+    "sd_vae": lambda: _sd_module("vae"),
+    "sd_text": lambda: _sd_module("text"),
+}
+
+
+def _sd_module(kind: str):
+    import jax
+    import jax.numpy as jnp
+
+    if kind == "unet":
+        from ..generation.sd_unet import SDUNet
+
+        mod = SDUNet()
+        init = lambda k: mod.init(
+            k, jnp.zeros((1, 64, 64, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, 768)))
+    elif kind == "vae":
+        from ..generation.sd_vae import SDVAE
+
+        mod = SDVAE()
+        init = lambda k: mod.init(k, jnp.zeros((1, 64, 64, 3)))
+    else:
+        from ..generation.sd_text import CLIPTextEncoder
+
+        mod = CLIPTextEncoder()
+        init = lambda k: mod.init(k, jnp.zeros((1, 77), jnp.int32))
+    return mod, init(jax.random.PRNGKey(0))
+
+
+def convert_sd(name: str, state_dict_path: str, out_dir: str = None) -> str:
+    """Convert a diffusers/HF Stable-Diffusion component state_dict
+    (``sd_unet`` / ``sd_vae`` / ``sd_text``) and save the npz."""
+    import torch
+
+    from ..models import save_npz_variables
+
+    state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    converted = torch_state_dict_to_flax(state, prefix="")
+    _, ref_vars = _SD_MODULES[name]()
+    variables, report = reconcile_with_module(converted, ref_vars)
+    if report["missing"] or report["mismatched"]:
+        print(f"[convert] {name}: {len(report['missing'])} missing, "
+              f"{len(report['mismatched'])} mismatched")
+        for m in (report["missing"] + report["mismatched"])[:20]:
+            print("  ", m)
+    out_dir = out_dir or os.environ.get(
+        "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+    )
+    path = os.path.join(out_dir, f"{name}.npz")
+    save_npz_variables(path, variables)
+    return path
+
+
 def convert_all(download_dir: str) -> None:
     """Scan a directory of downloaded originals, convert every recognizable
     file per the manifest, and print a per-family status table."""
@@ -251,6 +322,8 @@ def convert_all(download_dir: str) -> None:
 
                 model = art.npz[len("hgd_"):]
                 out = convert_hgd(path, model)
+            elif art.npz in _SD_MODULES:
+                out = convert_sd(art.npz, path)
             else:
                 out = convert_and_save(art.npz, path)
             converted.append((art.npz, out))
@@ -273,5 +346,7 @@ if __name__ == "__main__":
         print_inventory()
     elif "--all" in sys.argv:
         convert_all(sys.argv[sys.argv.index("--all") + 1])
+    elif sys.argv[1] in _SD_MODULES:
+        print(convert_sd(sys.argv[1], sys.argv[2]))
     else:
         print(convert_and_save(sys.argv[1], sys.argv[2]))

@@ -162,10 +162,24 @@ MANIFEST = (
     Artifact("rfcoa_ae + rfcoa_feat_<cls>", "ensemble/rfcoa/{24..919}.npz + AE",
              "in-repo robust features (rfcoa)", "ensemble.rfcoa",
              "copy npz per class; AE via convert", ("rfcoa",)),
-    Artifact("diffattack_sd", "stable-diffusion-2-base (diffusers)",
-             "HF stabilityai (diffattack.py:27-32)",
-             "generation.aim DiffAttack UNet/VAE",
-             "latent UNet + VAE subtree conversion", ("diffattack",)),
+    Artifact("sd_unet", "unet/diffusion_pytorch_model.bin (SD-1.5/2-base)",
+             "HF stable-diffusion (diffattack.py:27-32)",
+             "generation.sd_unet.SDUNet",
+             "convert_sd('sd_unet', bin) (tests/test_sd_parity.py)",
+             ("diffattack",)),
+    Artifact("sd_vae", "vae/diffusion_pytorch_model.bin",
+             "HF stable-diffusion (diffattack.py:27-32)",
+             "generation.sd_vae.SDVAE",
+             "convert_sd('sd_vae', bin)", ("diffattack",)),
+    Artifact("sd_text", "text_encoder/pytorch_model.bin",
+             "HF stable-diffusion CLIP text tower (diffattack.py:27-32)",
+             "generation.sd_text.CLIPTextEncoder",
+             "convert_sd('sd_text', bin)", ("diffattack",)),
+    Artifact("clip_vocab + clip_merges", "tokenizer/{vocab.json,merges.txt}",
+             "HF stable-diffusion tokenizer (diffattack.py:759 TextLabel)",
+             "generation.sd_text.SDTokenizer",
+             "copy to $TA_TPU_WEIGHTS_DIR/clip_{vocab.json,merges.txt}",
+             ("diffattack",)),
     # -- defenses ------------------------------------------------------------
     Artifact("at_resnet50_4px", "imagenet_model_weights_4px.pth.tar",
              "fast-AT release (defense/README.md)",
