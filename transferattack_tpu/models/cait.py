@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import register_model
-from .vit import DEFAULT_VIT_SURGERY, Mlp, ViTSurgery, apply_bwd_hook
+from .vit import (DEFAULT_VIT_SURGERY, Mlp, PatchEmbed, ViTSurgery,
+                  apply_bwd_hook)
 
 
 class TalkingHeadAttn(nn.Module):
@@ -183,11 +184,9 @@ class Cait(nn.Module):
     @nn.compact
     def __call__(self, x, features_only: bool = False):
         B = x.shape[0]
-        x = nn.Conv(
-            self.dim, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), name="patch_embed",
-        )(x)
-        x = x.reshape(B, -1, self.dim)
+        # space-to-depth + matmul patch projection (see vit.PatchEmbed —
+        # bit-exact, MXU-friendly in both directions)
+        x = PatchEmbed(self.dim, self.patch_size, name="patch_embed")(x)
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
         )

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import register_model
+from .vit import PatchEmbed
 
 
 def window_partition(x, ws: int):
@@ -149,10 +150,12 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, features_only: bool = False):
-        x = nn.Conv(
-            self.embed_dim, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), name="patch_embed",
-        )(x)
+        B, H, W, _ = x.shape
+        # space-to-depth + matmul patch projection (see vit.PatchEmbed —
+        # bit-exact, MXU-friendly in both directions)
+        x = PatchEmbed(self.embed_dim, self.patch_size, name="patch_embed")(x)
+        x = x.reshape(B, H // self.patch_size, W // self.patch_size,
+                      self.embed_dim)
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         dim = self.embed_dim
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):

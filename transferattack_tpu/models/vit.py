@@ -126,18 +126,38 @@ class Attention(nn.Module):
         if s.qkv_post is not None:
             qkv = s.qkv_post(qkv, meta)
         qkv = apply_bwd_hook(qkv, s.qkv_bwd, meta)
-        qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # Layout choice (measured, r3): with no attention-map hooks the
+        # (B, N, h, dh) einsum form avoids 5-D transpose copies (~16% of the
+        # ViT-B backward; 92→126 img/s at batch 32).  With score/attn-map
+        # surgery (TGR et al) the head-major explicit form backprops the
+        # hook's (B, h, N, N) cotangent without extra relayouts (97 vs 76).
+        fast_layout = (s.scores_bwd is None and s.attn_bwd is None
+                       and s.attn_post is None and not s.skip_attn_grad)
         ext_bias = None
-        if s.kv_extra is not None:
-            ext = s.kv_extra(meta)
-            k_ext, v_ext = ext[0], ext[1]
-            if len(ext) > 2:
-                ext_bias = ext[2]
-            k = jnp.concatenate([k, k_ext.astype(k.dtype)], axis=2)
-            v = jnp.concatenate([v, v_ext.astype(v.dtype)], axis=2)
-
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim**-0.5)
+        if fast_layout:
+            qkv = qkv.reshape(B, N, 3, h, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,dh)
+            if s.kv_extra is not None:
+                ext = s.kv_extra(meta)
+                k_ext, v_ext = ext[0], ext[1]  # (B, h, R, dh)
+                if len(ext) > 2:
+                    ext_bias = ext[2]
+                k = jnp.concatenate(
+                    [k, k_ext.transpose(0, 2, 1, 3).astype(k.dtype)], axis=1)
+                v = jnp.concatenate(
+                    [v, v_ext.transpose(0, 2, 1, 3).astype(v.dtype)], axis=1)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim**-0.5)
+        else:
+            qkv = qkv.reshape(B, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B, h, N, dh)
+            if s.kv_extra is not None:
+                ext = s.kv_extra(meta)
+                k_ext, v_ext = ext[0], ext[1]
+                if len(ext) > 2:
+                    ext_bias = ext[2]
+                k = jnp.concatenate([k, k_ext.astype(k.dtype)], axis=2)
+                v = jnp.concatenate([v, v_ext.astype(v.dtype)], axis=2)
+            attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim**-0.5)
         if ext_bias is not None:
             # per-slot logit bias on the appended columns only: disabling a
             # slot must not depend on q (a poisoned key of -1e9 flips sign
@@ -154,7 +174,10 @@ class Attention(nn.Module):
         else:
             attn = apply_bwd_hook(attn, s.attn_bwd, meta)
 
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        if fast_layout:
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
+        else:
+            out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
         self.sow("intermediates", "attn", attn)
         out = nn.Dense(D, name="proj")(out)
         if s.attn_out_post is not None:
@@ -210,6 +233,34 @@ class Block(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch projection as space-to-depth + matmul.
+
+    A stride==kernel conv (16×16/16, 3→768) contracts only 147 input-deep
+    taps per output and its input gradient is a transposed conv producing 3
+    channels — both starve the MXU (the profiler showed this single
+    convolution fusion at ~40% of the ViT-B attack iteration).  Extracting
+    the patches by reshape and applying the kernel as a (P·P·C, D) matmul is
+    bit-exact (identical MACs) and runs both directions as dense GEMMs.
+    Param names/shapes match ``nn.Conv`` so converted timm checkpoints load
+    unchanged (``patch_embed/kernel`` HWIO, ``patch_embed/bias``).
+    """
+
+    dim: int
+    patch: int
+
+    @nn.compact
+    def __call__(self, x):
+        P = self.patch
+        B, H, W, C = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (P, P, C, self.dim))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        xp = x.reshape(B, H // P, P, W // P, P, C).transpose(0, 1, 3, 2, 4, 5)
+        xp = xp.reshape(B, (H // P) * (W // P), P * P * C)
+        return xp @ k.reshape(P * P * C, self.dim) + b
+
+
 class VisionTransformer(nn.Module):
     patch_size: int = 16
     dim: int = 768
@@ -227,11 +278,7 @@ class VisionTransformer(nn.Module):
         positional embedding — LL2S robust-token injection
         (``ll2s.py:286-306`` vit_forward_features)."""
         B = x.shape[0]
-        x = nn.Conv(
-            self.dim, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), name="patch_embed",
-        )(x)
-        x = x.reshape(B, -1, self.dim)
+        x = PatchEmbed(self.dim, self.patch_size, name="patch_embed")(x)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
         prefix = [jnp.broadcast_to(cls, (B, 1, self.dim))]
         if self.distilled:
