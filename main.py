@@ -19,6 +19,14 @@ import time
 
 import numpy as np
 
+# honor JAX_PLATFORMS=cpu for CLI runs: the environment's sitecustomize
+# pre-imports jax onto the axon TPU backend regardless of the env var, so
+# an explicit config update is required (see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import transferattack_tpu as ta
 from transferattack_tpu.config import build_attack
 from transferattack_tpu.models import make_model
@@ -68,6 +76,10 @@ def get_parser():
     p.add_argument("--GPU_ID", default="0", type=str)
     # TPU-native extras
     p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
+    p.add_argument("--model_axis", default=0, type=int,
+                   help="place ensemble members on their own mesh axis of "
+                        "this size (devices reshape to (data, model); "
+                        "psum logit-mean over ICI). 0 = members co-resident")
     p.add_argument("--eval_models", default="", type=str,
                    help="comma list overriding the 8 paper eval models")
     p.add_argument("--bf16", action="store_true",
@@ -100,7 +112,15 @@ def run_attack(args) -> None:
     resumable = (args.checkpoint_every > 0
                  and getattr(attacker, "supports_resume", lambda: False)())
     shardable = hasattr(attacker, "run") and not args.no_mesh and not resumable
-    runner = ShardedAttackRunner(attacker, make_mesh()) if shardable else attacker
+    mesh = make_mesh()
+    if (args.model_axis > 0 and shardable
+            and getattr(attacker.model, "members", None)):
+        from transferattack_tpu.parallel import (data_model_mesh,
+                                                 mesh_ensemble_surrogate)
+
+        mesh = data_model_mesh(args.model_axis)
+        attacker.model = mesh_ensemble_surrogate(attacker.model, mesh)
+    runner = ShardedAttackRunner(attacker, mesh) if shardable else attacker
     dataset = AdvDataset(
         input_dir=args.input_dir, output_dir=args.output_dir, targeted=args.targeted
     )
@@ -169,16 +189,35 @@ def run_attack(args) -> None:
 
 
 def evaluate_model(surrogate, dataset, batchsize: int, is_targeted: bool) -> float:
-    """ASR for one eval model (reference ``main.py:80-94``)."""
+    """ASR for one eval model (reference ``main.py:80-94``).
+
+    The forward is data-parallel over the full device mesh (SURVEY.md §2.10
+    item 1 applies to eval too — the reference's eval loop is half the
+    pipeline wall-clock at 8 models × 1000 images); ragged final batches
+    pad up to the device count and the padded rows are sliced off before
+    scoring."""
     import jax
     import jax.numpy as jnp
 
-    apply = jax.jit(surrogate.module.apply)
+    from transferattack_tpu.parallel import (batch_sharding, make_mesh,
+                                             pad_to_multiple, replicated)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if n_dev > 1:
+        apply = jax.jit(
+            surrogate.module.apply,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh))
+    else:
+        apply = jax.jit(surrogate.module.apply)
     correct, total = 0, 0
     for images, labels, _ in dataset.as_batches(batchsize):
         if is_targeted and labels.ndim == 2:
             labels = labels[:, 1]
-        pred = np.asarray(apply(surrogate.variables, jnp.asarray(images)).argmax(-1))
+        xp, n = pad_to_multiple(np.asarray(images), n_dev)
+        logits = apply(surrogate.variables, jnp.asarray(xp))
+        pred = np.asarray(logits.argmax(-1))[:n]
         correct += int((labels == pred).sum())
         total += len(labels)
     acc = correct / max(total, 1)

@@ -82,3 +82,87 @@ def test_runner_targeted_pairs_and_host_state(toy_batch, tmp_path):
     delta = runner(x, pairs)
     assert delta.shape == x.shape
     assert np.all(np.abs(delta) <= 16 / 255 + 1e-5)
+
+
+def test_shardmap_ensemble_matches_sequential(toy_batch):
+    """Heterogeneous members placed on a 'model' mesh axis via shard_map +
+    psum logit-mean must reproduce the sequential ensemble exactly —
+    forward and through a full attack loop (SURVEY.md §2.10 items 3-4)."""
+    from transferattack_tpu.parallel import (data_model_mesh,
+                                             mesh_ensemble_surrogate)
+
+    x, y = toy_batch
+    names = ["toy_cnn", "toy_cnn2", "toy_vit", "toy_cnn"]
+    atk = ta.load_attack_class("ens")(model_name=names)
+    ref_logits = np.asarray(
+        atk.model.apply(atk.model.variables, jnp.asarray(x)))
+    ref_delta = np.asarray(atk(x, y))
+
+    mesh = data_model_mesh(4)  # 8 CPU devices -> (data=2, model=4)
+    atk2 = ta.load_attack_class("ens")(model_name=names)
+    atk2.model = mesh_ensemble_surrogate(atk.model, mesh)
+    got_logits = np.asarray(
+        atk2.model.apply(atk.model.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got_logits, ref_logits, atol=2e-5)
+
+    got_delta = np.asarray(atk2(x, y))
+    np.testing.assert_allclose(got_delta, ref_delta, atol=1e-5)
+
+
+def test_shardmap_ensemble_ind_mode(toy_batch):
+    """mode='ind' all-gathers per-member logits to (K, B, C)."""
+    from transferattack_tpu.parallel import (data_model_mesh,
+                                             mesh_ensemble_surrogate)
+    from transferattack_tpu.models import make_ensemble
+
+    x, _ = toy_batch
+    names = ["toy_cnn", "toy_cnn2"]
+    ens = make_ensemble(names, mode="ind")
+    ref = np.asarray(ens.apply(ens.variables, jnp.asarray(x)))
+
+    mesh = data_model_mesh(2)
+    mens = mesh_ensemble_surrogate(ens, mesh, mode="ind")
+    got = np.asarray(mens.apply(ens.variables, jnp.asarray(x)))
+    assert got.shape == ref.shape == (2, x.shape[0], ref.shape[-1])
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_stacked_ensemble_matches_sequential(toy_batch):
+    """Homogeneous weight sets stacked on a leading member axis (the LGV
+    case), vmapped and sharded over the 'model' axis, must match the
+    sequential member-mean."""
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.parallel import (StackedEnsemble,
+                                             data_model_mesh,
+                                             stack_param_sets,
+                                             stacked_sharding)
+
+    x, _ = toy_batch
+    base = make_model("toy_cnn")
+    key = jax.random.PRNGKey(3)
+    sets = []
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        leaves, treedef = jax.tree.flatten(base.variables)
+        ks = jax.random.split(sub, len(leaves))
+        sets.append(jax.tree.unflatten(treedef, [
+            l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, ks)
+        ]))
+    ref = np.mean(
+        [np.asarray(base.module.apply(v, jnp.asarray(x))) for v in sets],
+        axis=0)
+
+    stacked = stack_param_sets(sets)
+    ens = StackedEnsemble(base, K=4)
+    got = np.asarray(ens.apply(stacked, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # sharded over the model axis: jit with the stacked leaves on P('model')
+    mesh = data_model_mesh(4)
+    shardings = stacked_sharding(mesh, stacked)
+    xsh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(ens.apply, in_shardings=(shardings, xsh),
+                 out_shardings=NamedSharding(mesh, P("data")))
+    got_sharded = np.asarray(fn(stacked, jnp.asarray(x)))
+    np.testing.assert_allclose(got_sharded, ref, atol=2e-5)

@@ -10,9 +10,11 @@ couple images across the batch except via shuffled-batch mixing like Admix,
 which we handle with in-shard rolls) need zero communication in steady state,
 so scaling is embarrassingly linear until the host input pipeline binds.
 
-Ensemble surrogates (K models on one input) stay co-resident per shard and run
-back-to-back inside the jit program; a future axis could place members on
-their own mesh axis with a ``psum`` logit-mean.
+Ensemble surrogates (K models on one input) can either stay co-resident per
+shard and run back-to-back inside the jit program (compute-optimal when the
+batch is large enough to fill the slice) or ride their own ``model`` mesh
+axis with a ``psum`` logit-mean (``ensemble_mesh.py`` — shard_map placement
+for heterogeneous members, stacked-pytree vmap for homogeneous sets).
 """
 from __future__ import annotations
 
@@ -21,6 +23,15 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .ensemble_mesh import (  # noqa: F401
+    ShardMapEnsemble,
+    StackedEnsemble,
+    data_model_mesh,
+    mesh_ensemble_surrogate,
+    stack_param_sets,
+    stacked_sharding,
+)
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
