@@ -43,6 +43,10 @@ def test_ao_attack_constraints(toy_batch, name, overrides):
     ("logit", {"epoch": 10}),
     ("logit_margin", {"epoch": 10}),
     ("potrip", {"epoch": 10}),
+    ("cfm", {"epoch": 8, "layers": ("stage1", "stage2")}),
+    ("ftm", {"epoch": 8, "layers": ("stage1",)}),
+    ("fft", {"epoch": 6, "ft_epoch": 3, "num_ens": 2,
+             "mid_layer": "stage1", "feature_layer": "stage2"}),
 ])
 def test_targeted_logit_family(toy_batch, name, overrides):
     import jax.numpy as jnp
@@ -162,3 +166,48 @@ def test_aa_ragged_final_batch(tmp_path, toy_batch):
     d = np.asarray(atk(x[:2], np.stack([y[:2], target[:2]], axis=1), idx=1))
     assert d.shape == (2,) + x.shape[1:]
     assert np.any(d != 0)
+
+
+def test_yaila_ridge_fit_matches_reference_formula():
+    """yaila_calculate_w vs a literal numpy transcription of the reference
+    ``yaila_utils.calculate_w`` (:140-159) on random data."""
+    import numpy.linalg as npl
+
+    from transferattack_tpu.advanced_objective.cfm import yaila_calculate_w
+
+    rng = np.random.RandomState(0)
+    B, T, D, lam = 3, 5, 40, 1.0
+    H = rng.randn(B, T, D).astype(np.float64)
+    r = rng.rand(B, T, 1).astype(np.float64)
+
+    Hn = H / npl.norm(H, axis=2, keepdims=True)
+    Ht_r = np.einsum("ijk,ikl->ijl", Hn.transpose(0, 2, 1), r)
+    H_Ht = np.einsum("ijk,ilk->ijl", Hn, Hn)
+    inv = npl.inv(H_Ht + lam * np.repeat(np.eye(T)[None], B, axis=0))
+    H_Ht_r = np.einsum("ijk,ikl->ijl", Hn, Ht_r)
+    z = np.einsum("ijk,ikl->ijl", inv, H_Ht_r)
+    Ht_z = np.einsum("ijk,ikl->ijl", Hn.transpose(0, 2, 1), z)
+    ref = np.squeeze(Ht_r - Ht_z, axis=-1)
+
+    ours = np.asarray(yaila_calculate_w(
+        np.asarray(H, np.float32), np.asarray(r, np.float32), lam))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_yaila_runs_with_reference_defaults():
+    """YAILA's reference-quirk defaults: eps=0.03 (yaila.py:33), mid tap
+    layer3_0 (the 1-indexed '3_1' shifted down, yaila.py:57-59)."""
+    import transferattack_tpu as ta
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    atk = ta.load_attack_class("yaila")(
+        model_name="resnet18", pretrained=False, input_size=32,
+        epoch=3, ila_epoch=2)
+    assert atk.eps == 0.03 and atk.mid_tap == "layer3_0"
+    delta = np.asarray(atk(x, y))
+    assert np.all(np.abs(delta) <= 0.03 + 1e-5)
+    assert np.any(delta != 0)
+    adv = x + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5

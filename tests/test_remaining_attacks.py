@@ -22,8 +22,6 @@ CASES = [
     ("stm", dict(model_name="toy_cnn", num_style=3, epoch=3, sample_chunk=1), False),
     ("pam", dict(model_name="toy_cnn", epoch=3), False),
     ("aitl", dict(model_name="toy_cnn", epoch=3), False),
-    ("lpm", dict(model_name="toy_cnn", epoch=3, patch_grid=4, pop_size=4,
-                 de_iters=2), False),
     ("ssm_h", dict(model_name="toy_cnn", num_spectrum=3, epoch=3,
                    sample_chunk=1), False),
     ("ssm_p", dict(model_name="toy_cnn", num_spectrum=3, epoch=3,
@@ -93,3 +91,48 @@ def test_every_registry_key_resolves():
     for key in ta.attack_zoo:
         cls = ta.load_attack_class(key)
         assert isinstance(cls, type), key
+
+
+def test_lpm_ga_pipeline(toy_batch):
+    """LPM faithful pipeline (``lpm.py:17-329``): batchsize-1 GA over patch
+    masks with full inner attacks as fitness, gray-model var+mean scoring,
+    final 10-iter multi-mask gradient averaging."""
+    x, y = toy_batch
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ta.load_attack_class("lpm")(
+            model_name="toy_cnn", gray_models=("toy_cnn", "toy_cnn2"),
+            patch_grid=4, pop_size=4, de_iters=2, score_chunk=2, m_num=2,
+            inner_epoch=2, epoch=3)
+        assert atk.requires_batchsize == 1
+        with pytest.raises(ValueError):
+            atk(x, y)
+        delta = np.asarray(atk(x[:1], y[:1]))
+    assert delta.shape == (1,) + x.shape[1:]
+    assert np.all(np.abs(delta) <= EPS + 1e-5)
+    adv = x[:1] + delta
+    assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5
+    assert np.any(delta != 0)
+
+
+def test_lpm_ga_operators_match_reference_semantics():
+    """The MyDE operators (``lpm.py:243-329``): inbreeding crossover's
+    bit-voting rules, the 90%-ones mutation rows, greedy unique selection."""
+    atk = ta.load_attack_class("lpm")(
+        model_name="toy_cnn", gray_models=("toy_cnn",),
+        patch_grid=4, pop_size=10, de_iters=1, inner_epoch=1)
+    rng = np.random.RandomState(0)
+    chrom = rng.randint(0, 2, (10, 16))
+    cross = atk._ga_crossover(chrom, np.random.RandomState(1))
+    assert cross.shape == (3, 16) and set(np.unique(cross)) <= {0, 1}
+    # agreement bits must be preserved verbatim from the superior pool rule
+    mut = atk._ga_mutation(16, np.random.RandomState(2))
+    assert mut.shape == (7, 16)
+    assert np.all(mut.sum(axis=1) == 16 - int(0.1 * 16))  # 90% ones rows
+    # greedy unique selection: keeps best-by-score unique rows
+    off = rng.randint(0, 2, (5, 16))
+    Y = np.arange(10, dtype=float)
+    f_off = np.array([0.5, 3.3, 0.5, -1.0, 99.0])
+    newC, newY = atk._ga_select(chrom, Y, off, f_off)
+    assert newY[0] == -1.0 and len(newY) == 10
+    assert np.all(np.diff(newY) >= 0)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..attack import Attack, AttackState, softmax_cross_entropy
 from ..gradient.mifgsm import MIFGSM
 from ..input_transformation.dim import random_resize_pad
+from ..input_transformation.su import SU
 from ..models import tap_key
 from ..ops import gaussian_kernel, smooth_conv
 from .fia import FIA
@@ -115,63 +116,128 @@ class MFAA(FIA):
         return self.finalize(state, x, y)
 
 
-class YAILA(MIFGSM):
-    """Yet another intermediate-level attack (``yaila/yaila.py:8-68`` +
-    1,933-LoC layer surgery): fit a linear map w from mid-layer feature
-    displacements to losses over a short baseline attack trajectory, then
-    maximize ⟨w, Δfeat⟩.  Mid layer '3_1' ≈ our stage3 block 1 tap."""
+def yaila_calculate_w(H, r, lam: float = 1.0):
+    """The reference's dual-form ridge fit (``yaila_utils.calculate_w:140-159``
+    at normalize_H=True): rows of H L2-normalized, then
+    w = Hᵀr − Hᵀ(HHᵀ+λI)⁻¹HHᵀr  (= λ·Hᵀ(HHᵀ+λI)⁻¹r by Woodbury).
+    H: (B, T, D) feature displacements; r: (B, T, 1) losses → (B, D)."""
+    Hn = H / (jnp.linalg.norm(H, axis=2, keepdims=True) + 1e-12)
+    G = jnp.einsum("btd,bsd->bts", Hn, Hn)
+    T = G.shape[1]
+    A = G + lam * jnp.eye(T, dtype=G.dtype)[None]
+    Ht_r = jnp.einsum("btd,bto->bdo", Hn, r)
+    H_Ht_r = jnp.einsum("btd,bdo->bto", Hn, Ht_r)
+    z = jnp.linalg.solve(A, H_Ht_r)
+    return (Ht_r - jnp.einsum("btd,bto->bdo", Hn, z))[..., 0]
 
-    def __init__(self, model_name="resnet50", mid_layer="layer3.1",
-                 baseline_epoch=5, **kwargs):
+
+class YAILA(MIFGSM):
+    """Yet another intermediate-level attack, faithful to the reference
+    pipeline (``yaila/yaila.py:43-68`` + ``yaila/yaila_utils.py:140-256``):
+
+    1. **TAP-loss baseline** (``yaila_utils.attack`` with method='tap',
+       ``Transferable_Adversarial_Perturbations_Loss:260-285``): epoch+1
+       plain sign-ascent steps at lr=1/255 recording, from iteration 1 on,
+       the flattened mid-layer feature displacement H[:, t] and the
+       per-sample CE r[:, t] (``yaila_utils.py:196-221``).
+    2. **Dual-form ridge fit** (``calculate_w:140-159``, lam=1.0,
+       normalize_H=True): rows of H L2-normalized, then
+       w = Hᵀr − Hᵀ(HHᵀ+λI)⁻¹HHᵀr  (= λ·Hᵀ(HHᵀ+λI)⁻¹r).
+    3. **ILA phase** (``Proj_Loss:245-256``): ila_epoch+1 sign-ascent steps
+       on ⟨feat − feat₀, w/‖w‖⟩ from a fresh start.
+
+    Reference quirks kept: epsilon defaults to 0.03 (``yaila.py:33`` — NOT
+    the protocol's 16/255, and main.py never forwards --eps); the mid layer
+    '3_1' is 1-indexed and shifted down one unit (``yaila.py:57-59``), i.e.
+    block tap ``layer3_0``; both phases bound steps with lr, not alpha.
+    """
+
+    def __init__(self, model_name="resnet50", mid_layer="3_1", lam=1.0,
+                 ila_epoch=50, lr=1 / 255, tap_lam=0.005, tap_alpha=0.5,
+                 tap_s=3, tap_yita=0.01, **kwargs):
         kwargs.setdefault("attack", "YAILA")
+        kwargs.setdefault("eps", 0.03)
         super().__init__(model_name, **kwargs)
-        self.mid_layer = mid_layer
-        self.baseline_epoch = int(baseline_epoch)
+        bi, ui = mid_layer.split("_")
+        self.mid_tap = f"layer{bi}_{int(ui) - 1}"
+        self.lam = float(lam)
+        self.ila_epoch = int(ila_epoch)
+        self.lr = float(lr)
+        self.tap_lam = float(tap_lam)
+        self.tap_alpha = float(tap_alpha)
+        self.tap_s = int(tap_s)
+        self.tap_yita = float(tap_yita)
+
+    def _forward_parts(self, variables, xadv):
+        """(logits, [stage feats], mid-block feat) in one forward — the
+        reference's ``resnet50_forward(tap=True)`` (``yaila_utils.py:94-127``)."""
+        from ..models import find_feature
+
+        logits, feats = self.model.apply_with_feats(variables, xadv, self.mid_tap)
+        stages = [find_feature(feats, f"stage{i}") for i in (1, 2, 3, 4)]
+        mid = find_feature(feats, self.mid_tap)
+        if mid is None:
+            raise KeyError(f"no block tap {self.mid_tap!r} in intermediates")
+        return logits, stages, mid
+
+    def _sign_step(self, delta, x, grad):
+        d = jnp.clip(delta + self.lr * jnp.sign(grad), -self.eps, self.eps)
+        return jnp.clip(x + d, 0.0, 1.0) - x
 
     def run(self, variables, x, y, key):
-        k1, k2 = jax.random.split(key)
-        _, feat0 = self.model.feature(variables, x, self.mid_layer)
-        feat0 = jax.lax.stop_gradient(feat0)
+        from flax import linen as fnn
 
-        # short baseline attack collecting (Δfeat, loss) pairs
-        state = self.init_state(x, y, k1)
+        B = x.shape[0]
+        _, stages0, mid0 = self._forward_parts(variables, x)
+        stages0 = [jax.lax.stop_gradient(f) for f in stages0]
+        mid0_flat = jax.lax.stop_gradient(mid0).reshape(B, -1)
 
-        def base_body(st, _):
-            k, sub = jax.random.split(st.key)
-            grad = self.input_grad(variables, x + st.delta, y, st, sub)
-            momentum = self.get_momentum(grad, st.momentum)
-            delta = self.update_delta(st.delta, x, momentum)
-            logits, feat = self.model.feature(
-                variables, x + delta, self.mid_layer
-            )
+        def powsign(f):
+            return jnp.sign(f) * jnp.abs(f) ** self.tap_alpha
+
+        def tap_loss(delta):
+            xadv = x + delta
+            logits, stages, mid = self._forward_parts(variables, xadv)
             ce = softmax_cross_entropy(logits, y)
-            return st.replace(delta=delta, momentum=momentum, key=k,
-                              step=st.step + 1), (feat - feat0, ce)
+            l2 = 0.0
+            for f0, f in zip(stages0, stages):
+                diff = powsign(f0) - powsign(f)
+                sq = jnp.sum(diff**2, axis=tuple(range(1, diff.ndim)))
+                l2 = l2 + self.tap_lam * jnp.sum(sq) / B
+            pooled = fnn.avg_pool(x - xadv, (self.tap_s, self.tap_s),
+                                  strides=(self.tap_s, self.tap_s))
+            l3 = self.tap_yita * jnp.sum(jnp.abs(pooled)) / B
+            loss = ce.mean() + l2 + l3
+            dmid = mid.reshape(B, -1) - mid0_flat
+            return loss, (ce, dmid)
 
-        state, (dfeats, losses) = jax.lax.scan(
-            base_body, state, None, length=self.baseline_epoch
-        )
-        # least-squares fit per sample: w ∝ Σ_t loss_t · Δfeat_t
-        w = jnp.einsum("tb,tb...->b...", losses, dfeats)
-        axes = tuple(range(1, w.ndim))
-        w = w / (jnp.sqrt(jnp.sum(w**2, axis=axes, keepdims=True)) + 1e-12)
+        # phase 1: epoch+1 sign steps, recording (Δfeat, ce) at the visited
+        # state of iterations 1..epoch (the i!=0 rule, yaila_utils.py:216-219)
+        def base_body(delta, _):
+            (_, (ce, dmid)), g = jax.value_and_grad(
+                tap_loss, has_aux=True)(delta)
+            return self._sign_step(delta, x, g), (ce, dmid)
+
+        _, (ces, dmids) = jax.lax.scan(
+            base_body, jnp.zeros_like(x), None, length=self.epoch + 1)
+        r = jnp.transpose(ces[1:], (1, 0))[..., None]       # (B, T, 1)
+        H = jnp.transpose(dmids[1:], (1, 0, 2))             # (B, T, D)
+        w = yaila_calculate_w(H, r, self.lam)
+        w = w / (jnp.linalg.norm(w, axis=1, keepdims=True) + 1e-12)
         w = jax.lax.stop_gradient(w)
 
-        state2 = self.init_state(x, y, k2)
+        # phase 2: ILA projection ascent from a fresh start (Proj_Loss)
+        def proj(delta):
+            _, _, mid = self._forward_parts(variables, x + delta)
+            return jnp.sum((mid.reshape(B, -1) - mid0_flat) * w) / B
 
-        def ila_body(st, _):
-            k, _ = jax.random.split(st.key)
+        def ila_body(delta, _):
+            return self._sign_step(delta, x, jax.grad(proj)(delta)), None
 
-            def proj(delta):
-                _, feat = self.model.feature(variables, x + delta, self.mid_layer)
-                return jnp.sum((feat - feat0) * w)
-
-            grad = jax.grad(proj)(st.delta)
-            delta = self.update_delta(st.delta, x, grad)
-            return st.replace(delta=delta, key=k, step=st.step + 1), None
-
-        state2, _ = jax.lax.scan(ila_body, state2, None, length=self.epoch)
-        return self.finalize(state2, x, y)
+        delta, _ = jax.lax.scan(
+            ila_body, jnp.zeros_like(x), None, length=self.ila_epoch + 1)
+        state = self.init_state(x, y, key)
+        return self.finalize(state.replace(delta=delta), x, y)
 
 
 class CFM(Attack):
@@ -298,47 +364,158 @@ class FTM(CFM):
         return grad, updates
 
 
-class FFT(CFM):
-    """Feature fine-tuning (``fft.py:12-313``): fine-tune a pre-crafted
-    adversary in feature space — phase 1 runs the base targeted logit
-    attack, phase 2 fine-tunes with mid-layer feature-similarity loss."""
+def di_keepresolution(x, key, margin: int = 22, prob: float = 0.7):
+    """The reference FFT's resolution-preserving DI (``fft.py:66-80``):
+    with prob 0.7 downscale to a random rnd ∈ [size−margin, size) and
+    zero-pad back to size at a random offset.  One static-shape
+    ``scale_and_translate`` (torch uses nearest interpolation; the linear
+    kernel here is the framework-wide continuous stand-in, see DIM)."""
+    H, W = x.shape[1], x.shape[2]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rnd = jax.random.randint(k1, (), H - margin, H).astype(x.dtype)
+    top = jnp.floor(jax.random.uniform(k2, (), x.dtype) * (H - rnd + 1))
+    left = jnp.floor(jax.random.uniform(k3, (), x.dtype) * (W - rnd + 1))
+    scale = rnd / H
+    out = jax.image.scale_and_translate(
+        x, x.shape, (1, 2), jnp.stack([scale, scale]),
+        jnp.stack([top, left]), method="linear",
+    )
+    apply = jax.random.uniform(k4, (), x.dtype) <= prob
+    return jnp.where(apply, out, x)
 
-    def __init__(self, *args, ft_epoch=10, feature_layer="layer3",
+
+class FFT(SU):
+    """Feature fine-tuning (``fft.py:12-313``), faithful to the reference
+    pipeline:
+
+    1. **Baseline = SU** (``fft.py:49`` super().__init__ with coef=0.001,
+       scale=(0.1, 0.0)) under ``loss_base`` ∈ CE / logit / logit_margin
+       (default logit_margin, ``fft.py:46,143-152``) — the self-universality
+       targeted attack with its built-in DI + TI.
+    2. **Combined aggregate gradient** (``fft.py:181-235``): FIA-style
+       dropout-ensemble feature gradients at the mid layer — on the clean
+       image w.r.t. the ORIGINAL label and on the baseline adversary w.r.t.
+       the TARGET label — combined as agg_adv − β·agg_clean.  The dropout
+       mask applies in normalized space (``fft.py:125-131`` drops
+       ``model[0](data)``), i.e. raw pixels collapse toward the dataset
+       mean: x' = mean + M⊙(x − mean).
+    3. **Fine-tune** (``fft.py:256-277``): epoch_ft iterations at
+       alpha_ft = alpha/2 ascending Σ(combined ⊙ feat) under the
+       resolution-preserving DI (``DI_keepresolution:66-80``) + TI kernel 5;
+       the OVERALL perturbation init_delta+delta is eps-bounded each step.
+    """
+
+    def __init__(self, model_name="resnet50", epoch=300, alpha=2 / 255,
+                 num_ens=30, drop_rate=0.3, beta_combine=0.2, ft_epoch=10,
+                 loss_base="logit_margin", mid_layer="layer3",
                  attack="FFT", **kwargs):
         kwargs["attack"] = attack
-        super().__init__(*args, **kwargs)
+        kwargs.setdefault("targeted", True)
+        super().__init__(model_name, epoch=epoch, alpha=alpha,
+                         coef=0.001, scale=(0.1, 0.0), **kwargs)
+        self.num_ens = int(num_ens)
+        self.drop_rate = float(drop_rate)
+        self.beta_combine = float(beta_combine)
         self.ft_epoch = int(ft_epoch)
-        self.feature_layer = feature_layer
+        self.alpha_ft = float(alpha) / 2.0
+        self.loss_base = str(loss_base)
+        self.mid_layer = mid_layer
+        if self.loss_base not in ("CE", "logit", "logit_margin"):
+            raise ValueError(
+                "Only CE, logit, logit_margin are supported (fft.py:152)")
+
+    def class_loss(self, logits, yy):
+        """loss_base for the SU baseline (``fft.py:143-152,287-313``)."""
+        if self.loss_base == "logit":
+            picked = jnp.take_along_axis(logits, yy[:, None], axis=1)[:, 0]
+            return -picked.mean()
+        if self.loss_base == "logit_margin":
+            v = jnp.sort(logits, axis=1)[:, ::-1]
+            margin = jax.lax.stop_gradient(v[:, 0] - v[:, 1])[:, None]
+            return softmax_cross_entropy(logits / margin, yy).mean()
+        return softmax_cross_entropy(logits, yy).mean()
+
+    def prepare_labels(self, label):
+        """Keep BOTH columns: the aggregate gradients need the original
+        label (clean pass) AND the target (adv pass), ``fft.py:154-157``."""
+        import numpy as _np
+
+        label = _np.asarray(label)
+        if label.ndim == 2:
+            return jnp.asarray(label.astype(_np.int32))
+        return jnp.asarray(
+            _np.stack([label, label], axis=1).astype(_np.int32))
+
+    def _dropout_in_norm_space(self, x, k):
+        """x' = mean + M⊙(x − mean): equals dropping the normalized image."""
+        mean = jnp.asarray(
+            getattr(self.model.module, "mean", (0.0, 0.0, 0.0)), x.dtype)
+        M = jax.random.bernoulli(k, 1.0 - self.drop_rate, x.shape)
+        return mean + M.astype(x.dtype) * (x - mean)
+
+    def _agg_grad(self, variables, point, labels, key):
+        """FIA-style aggregate feature gradient of the label-logit sum over
+        num_ens dropout copies, per-sample L2-normalized (``fft.py:181-235``)."""
+        feat_shape = self.model.feature_shape(point.shape, self.mid_layer)
+        keyname = tap_key(self.mid_layer)
+
+        def one(k):
+            def loss(offset):
+                taps = {keyname: lambda f: f + offset}
+                logits = self.model.apply(
+                    variables, self._dropout_in_norm_space(point, k),
+                    tap_fns=taps)
+                return jnp.take_along_axis(
+                    logits, labels[:, None], axis=1).sum()
+
+            return jax.grad(loss)(jnp.zeros(feat_shape, point.dtype))
+
+        def body(acc, k):
+            return acc + one(k), None
+
+        agg, _ = jax.lax.scan(
+            body, jnp.zeros(feat_shape, point.dtype),
+            jax.random.split(key, self.num_ens))
+        axes = tuple(range(1, agg.ndim))
+        return agg / (jnp.sqrt(jnp.sum(agg**2, axis=axes, keepdims=True))
+                      + 1e-12)
 
     def run(self, variables, x, y, key):
-        k1, k2 = jax.random.split(key)
-        base_delta = super().run(variables, x, y, k1)
-        _, feat_adv = self.model.feature(
-            variables, x + base_delta, self.feature_layer
-        )
-        feat_adv = jax.lax.stop_gradient(feat_adv)
+        from ..utils import img_max, img_min
 
-        state = self.init_state(x, y, k2)
-        state = state.replace(delta=base_delta)
+        y_ori, y_tar = y[:, 0], y[:, 1]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
 
-        def ft_loss(delta):
-            logits, feat = self.model.feature(
-                variables, x + delta, self.feature_layer
-            )
-            sim = jnp.sum(feat * feat_adv) / (
-                jnp.linalg.norm(feat.reshape(-1))
-                * jnp.linalg.norm(feat_adv.reshape(-1)) + 1e-12
-            )
-            ce = self.get_loss(logits[None], y)
-            return ce + sim
+        # 1. baseline SU attack toward the target label
+        init_delta = super().run(variables, x, y_tar, k1)
+        init_delta = jax.lax.stop_gradient(init_delta)
 
-        def body(st, _):
-            k, _ = jax.random.split(st.key)
-            grad = jax.grad(ft_loss)(st.delta)
-            momentum = self.get_momentum(grad, st.momentum)
-            delta = self.update_delta(st.delta, x, momentum)
-            return st.replace(delta=delta, momentum=momentum, key=k,
-                              step=st.step + 1), None
+        # 2. combined aggregate gradient
+        agg_clean = self._agg_grad(variables, x, y_ori, k2)
+        agg_adv = self._agg_grad(variables, x + init_delta, y_tar, k3)
+        combined = jax.lax.stop_gradient(
+            agg_adv - self.beta_combine * agg_clean)
 
-        state, _ = jax.lax.scan(body, state, None, length=self.ft_epoch)
-        return self.finalize(state, x, y)
+        # 3. feature fine-tune of the pre-crafted adversary
+        data_adv = x + init_delta
+
+        def ft_loss(delta, k):
+            pts = di_keepresolution(data_adv + delta, k)
+            _, feat = self.model.feature(variables, pts, self.mid_layer)
+            return jnp.sum(combined * feat)
+
+        def body(carry, k):
+            delta, mom = carry
+            kd, kg = jax.random.split(k)
+            grad = jax.grad(ft_loss)(delta, kd)
+            grad = smooth_conv(grad, self.kernel)
+            mom = self.get_momentum(grad, mom)
+            d = jnp.clip(init_delta + delta + self.alpha_ft * jnp.sign(mom),
+                         -self.eps, self.eps) - init_delta
+            d = jnp.clip(d, img_min - data_adv, img_max - data_adv)
+            return (d, mom), None
+
+        (delta, _), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x), jnp.zeros_like(x)),
+            jax.random.split(k4, self.ft_epoch))
+        return jnp.clip(x + init_delta + delta, img_min, img_max) - x

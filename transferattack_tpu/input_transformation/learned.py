@@ -17,6 +17,7 @@ import warnings
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..attack import Attack, AttackState, mean_over_keys, softmax_cross_entropy
@@ -525,65 +526,220 @@ class AITL(MIFGSM):
 
 
 class LPM(MIFGSM):
-    """Learnable patch-wise masks via differential evolution
-    (``lpm.py:17-329``): DE over binary patch masks scored by the surrogate
-    loss of the masked adversary; the best mask gates the gradient."""
+    """Learnable patch-wise masks (``lpm.py:17-329``), faithful to the
+    reference's scoring loop:
 
-    def __init__(self, model_name="resnet50", patch_grid=7, pop_size=8,
-                 de_iters=3, mask_rate=0.5, **kwargs):
+    - a genetic search (pop 40, 10 generations, the custom MyDE operators
+      ``lpm.py:237-329``) over binary patch masks (patch 32 → 7×7 grid);
+    - each candidate's fitness is a FULL 10-iter masked MI-FGSM attack on
+      the white surrogate (``batch_attack:183-221``, the mask multiplies the
+      whole adversarial image) scored on a gray-model trio as
+      var + mean of −CE (``score_transferability:168-182``), minimized;
+    - the final delta averages M_num=12 masked gradients per iteration,
+      cycling the ranked population (``batch_attack_final_multiple_mask_2``,
+      ``cnt%pop_size`` at :144-155).
+
+    TPU mapping: per-candidate inner attacks ride a vmapped candidate axis
+    in chunks of ``score_chunk`` (the reference's b_s=20 scoring batch); the
+    GA's rank/inbreed/mutate/unique-select operators run host-side in numpy
+    between device calls (the reference's modified-sko host loop); the final
+    attack is one jitted scan.  batchsize=1 as required (``lpm.py:89-90``).
+
+    Adaptations (documented): the reference's ``sko`` import is broken as
+    shipped (no such package in-tree, SURVEY §2.2) — the generation order
+    here is rank → inbreeding-crossover → mutation → greedy-unique
+    selection, the only order MyDE's methods can execute in; densenet161
+    is not in the zoo, densenet201 stands in (``lpm.py:55``); superior pool
+    is floored at 2 so tiny test populations cannot deadlock the pair draw.
+    """
+
+    host_state = True
+
+    def __init__(self, model_name="resnet50",
+                 gray_models=("resnet50", "vgg16", "densenet201"),
+                 patch_grid=7, pop_size=40, de_iters=10, score_chunk=20,
+                 m_num=12, inner_epoch=10, **kwargs):
         kwargs.setdefault("attack", "LPM")
+        pretrained = kwargs.get("pretrained", True)
+        input_size = kwargs.get("input_size", None)
         super().__init__(model_name, **kwargs)
+        self.requires_batchsize = 1
         self.patch_grid = int(patch_grid)
         self.pop_size = int(pop_size)
         self.de_iters = int(de_iters)
-        self.mask_rate = float(mask_rate)
+        self.score_chunk = int(score_chunk)
+        self.m_num = int(m_num)
+        self.inner_epoch = int(inner_epoch)
+        from ..models import make_model
 
-    def _upsample_mask(self, bits, H, W):
+        self.gray = [
+            make_model(n, pretrained=pretrained, input_size=input_size)
+            for n in gray_models
+        ]
+        self._jit_score = None
+        self._jit_final = None
+
+    # ---- device side ------------------------------------------------------
+
+    def _mask_full(self, bits, H, W):
         g = self.patch_grid
         cell = bits.reshape(g, g)
-        reps_h = H // g + (1 if H % g else 0)
-        m = jnp.repeat(jnp.repeat(cell, reps_h, axis=0), reps_h, axis=1)
-        return m[:H, :W][None, :, :, None]
+        m = jnp.repeat(jnp.repeat(cell, H // g, axis=0), W // g, axis=1)
+        return m[None, :, :, None]
 
-    def _score(self, variables, x, delta, y, bits):
-        mask = self._upsample_mask(bits, x.shape[1], x.shape[2]).astype(x.dtype)
-        logits = self.model.apply(variables, x + delta * mask)
-        return softmax_cross_entropy(logits, y).mean()
+    def _inner_attack(self, wvars, x, y, mask):
+        """10-iter masked MI-FGSM on the white model (``batch_attack``)."""
 
-    def get_grad(self, variables, x, y, state: AttackState, key):
-        g2 = self.patch_grid**2
-        k0, k1, k2 = jax.random.split(key, 3)
-        pop = jax.random.bernoulli(k0, self.mask_rate, (self.pop_size, g2)).astype(
-            x.dtype
-        )
+        def body(carry, _):
+            delta, mom = carry
 
-        def de_step(carry, k):
-            pop = carry
-            ka, kb, kc = jax.random.split(k, 3)
-            # DE mutation: crossover with a shuffled partner + random flips
-            partner = pop[jax.random.permutation(ka, self.pop_size)]
-            cross = jax.random.bernoulli(kb, 0.5, pop.shape)
-            trial = jnp.where(cross, partner, pop)
-            flip = jax.random.bernoulli(kc, 0.05, pop.shape)
-            trial = jnp.abs(trial - flip.astype(pop.dtype))
-            scores_old = jax.vmap(
-                lambda b: self._score(variables, x, state.delta, y, b)
-            )(pop)
-            scores_new = jax.vmap(
-                lambda b: self._score(variables, x, state.delta, y, b)
-            )(trial)
-            keep_new = (scores_new > scores_old)[:, None]
-            return jnp.where(keep_new, trial, pop), None
+            def loss_fn(d):
+                logits = self.model.apply(wvars, (x + d) * mask)
+                ce = softmax_cross_entropy(logits, y).mean()
+                return -ce if self.targeted else ce
 
-        pop, _ = jax.lax.scan(de_step, pop, jax.random.split(k1, self.de_iters))
-        scores = jax.vmap(
-            lambda b: self._score(variables, x, state.delta, y, b)
-        )(pop)
-        best = pop[jnp.argmax(scores)]
-        mask = self._upsample_mask(best, x.shape[1], x.shape[2]).astype(x.dtype)
+            grad = jax.grad(loss_fn)(delta)
+            mom = self.get_momentum(grad, mom)
+            return (self.update_delta(delta, x, mom), mom), None
 
-        def loss_fn(delta):
-            logits = self.model.apply(variables, x + delta * mask)
-            return self.get_loss(logits[None], y)
+        (delta, _), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x), jnp.zeros_like(x)), None,
+            length=self.inner_epoch)
+        return delta
 
-        return jax.grad(loss_fn)(state.delta) * mask, {}
+    def _build_score(self):
+        gray = self.gray
+
+        def score(wvars, gvarses, x, y, masks):
+            def one(bits):
+                mask = self._mask_full(bits, x.shape[1], x.shape[2])
+                delta = self._inner_attack(wvars, x, y, mask)
+                xadv = x + delta  # scored UNmasked (batch_attack returns X+δ)
+                losses = jnp.stack([
+                    -softmax_cross_entropy(g.apply(gv, xadv), y).mean()
+                    for g, gv in zip(gray, gvarses)
+                ])
+                return jnp.var(losses) + jnp.mean(losses)
+
+            return jax.vmap(one)(masks)
+
+        return jax.jit(score)
+
+    def _build_final(self):
+        def final(wvars, x, y, masks):
+            P = masks.shape[0]
+
+            def body(carry, t):
+                delta, mom = carry
+
+                def one_grad(j):
+                    mask = self._mask_full(
+                        masks[(t * self.m_num + j) % P],
+                        x.shape[1], x.shape[2])
+
+                    def loss_fn(d):
+                        logits = self.model.apply(wvars, (x + d) * mask)
+                        ce = softmax_cross_entropy(logits, y).mean()
+                        return -ce if self.targeted else ce
+
+                    return jax.grad(loss_fn)(delta)
+
+                g = jax.vmap(one_grad)(jnp.arange(self.m_num)).sum(axis=0)
+                mom = self.get_momentum(g, mom)
+                return (self.update_delta(delta, x, mom), mom), None
+
+            (delta, _), _ = jax.lax.scan(
+                body, (jnp.zeros_like(x), jnp.zeros_like(x)),
+                jnp.arange(self.epoch))
+            return delta
+
+        return jax.jit(final)
+
+    # ---- host-side GA operators (MyDE, lpm.py:237-329) --------------------
+
+    def _ga_crossover(self, chrom, rng):
+        P, L = self.pop_size, chrom.shape[1]
+        superior = max(int(0.3 * P), 2)
+        cross_n = max(int(0.3 * P), 1)
+        sup = chrom[:superior]
+        out = np.zeros((cross_n, L), int)
+        for i in range(cross_n):
+            n1 = rng.randint(0, superior, 2)
+            while n1[0] == n1[1]:
+                n1 = rng.randint(0, superior, 2)
+            check_1, check_2 = 1, 0
+            for j in range(L):
+                a, b = sup[n1[0]][j], sup[n1[1]][j]
+                if a == 1 and b == 1:
+                    out[i][j] = 1
+                elif a == 0 and b == 0:
+                    out[i][j] = 0
+                elif a == 1 and b == 0:
+                    out[i][j] = sup[n1[check_1]][j]
+                    check_1 = 1 - check_1
+                else:
+                    out[i][j] = sup[n1[check_2]][j]
+                    check_2 = 1 - check_2
+        return out
+
+    def _ga_mutation(self, L, rng):
+        n = max(int(self.pop_size * 0.7), 1)
+        zeros_len = int(0.1 * L)
+        rows = np.concatenate(
+            [np.zeros((n, zeros_len)), np.ones((n, L - zeros_len))], axis=1)
+        for i in range(n):
+            rows[i] = rng.permutation(rows[i])
+        return rows.astype(int)
+
+    def _ga_select(self, chrom, Y, offspring, f_off):
+        sel = np.vstack([offspring, chrom])
+        selY = np.concatenate([f_off, Y])
+        a, idx = np.unique(selY, return_index=True)
+        uniq = sel[idx]
+        P = self.pop_size
+        if len(a) >= P:
+            return uniq[:P].copy(), a[:P].copy()
+        newC, newY = chrom.copy(), Y.copy()
+        newC[: len(a)], newY[: len(a)] = uniq, a
+        newC[len(a):], newY[len(a):] = uniq[-1], a[-1]
+        return newC, newY
+
+    # ---- driver -----------------------------------------------------------
+
+    def __call__(self, data, label, key=None, idx: int = 0):
+        x = jnp.asarray(data)
+        y = self.prepare_labels(label)
+        if x.shape[0] != 1:
+            raise ValueError("LPM requires batchsize 1 (lpm.py:89-90)")
+        rng = np.random.RandomState(self.seed + idx)
+        g2 = self.patch_grid ** 2
+        if self._jit_score is None:
+            self._jit_score = self._build_score()
+            self._jit_final = self._build_final()
+        wvars = self.model.variables
+        gvars = tuple(g.variables for g in self.gray)
+
+        def score_all(bits):
+            outs = []
+            for s in range(0, len(bits), self.score_chunk):
+                chunk = bits[s:s + self.score_chunk]
+                padn = self.score_chunk - len(chunk)
+                cb = (np.concatenate([chunk, np.repeat(chunk[:1], padn, 0)])
+                      if padn else chunk)
+                sc = np.asarray(self._jit_score(
+                    wvars, gvars, x, y, jnp.asarray(cb, jnp.float32)))
+                outs.append(sc[: len(chunk)])
+            return np.concatenate(outs)
+
+        chrom = rng.randint(0, 2, (self.pop_size, g2))
+        Y = score_all(chrom)
+        for _ in range(self.de_iters):
+            order = np.argsort(Y)
+            chrom, Y = chrom[order], Y[order]          # MyDE.ranking
+            cross = self._ga_crossover(chrom, rng)     # MyDE.crossover
+            mut = self._ga_mutation(g2, rng)           # MyDE.mutation
+            off = np.vstack([cross, mut])
+            f_off = score_all(off)                     # MyDE.selection
+            chrom, Y = self._ga_select(chrom, Y, off, f_off)
+        chrom = chrom[np.argsort(Y)]
+        return self._jit_final(wvars, x, y, jnp.asarray(chrom, jnp.float32))

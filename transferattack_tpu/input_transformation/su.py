@@ -54,6 +54,12 @@ class SU(Attack):
         self.diversity_prob = float(diversity_prob)
         self.kernel = gaussian_kernel(int(kernel_size))
 
+    def class_loss(self, logits, yy):
+        """The classifier part of the SU loss (logit loss, ``su.py:165``).
+        FFT overrides this with its loss_base options (``fft.py:143-152``)."""
+        picked = jnp.take_along_axis(logits, yy[:, None], axis=1)[:, 0]
+        return -picked.mean()
+
     def get_grad(self, variables, x, y, state: AttackState, key):
         k1, k2 = jax.random.split(key)
         B = x.shape[0]
@@ -66,8 +72,7 @@ class SU(Attack):
                                      self.diversity_prob)
             logits, feat = self.model.feature(variables, both, self.feature_layer)
             yy = jnp.concatenate([y, y])
-            picked = jnp.take_along_axis(logits, yy[:, None], axis=1)[:, 0]
-            logit_loss = -picked.mean() if not self.targeted else -picked.mean()
+            logit_loss = self.class_loss(logits, yy)
             fg = feat[:B].reshape(B, -1)
             fl = feat[B:].reshape(B, -1)
             cos = jnp.sum(fg * fl, axis=1) / (

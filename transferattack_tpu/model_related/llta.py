@@ -13,8 +13,11 @@ transformations (head permutation / attention sparsification / token drop)
 chosen by an online softmax bandit over carried scores (redesign of the
 reference's 705-LoC GlobalState machinery).
 
-ATA-ViT: attention-rollout-weighted perturbation allocation + embedding
-perturbation (stand-in for the vendored 2,186-LoC LRP explainability stack).
+ATA-ViT: transformer-attribution-weighted perturbation allocation +
+embedding perturbation — the Chefer grad⊙attn relevance rollout the
+reference's vendored 2,186-LoC explainability stack computes for
+method='transformer_attribution' (``ViT_LRP.py:357-369``), via offset-probe
+cotangent capture instead of LRP layer classes.
 """
 from __future__ import annotations
 
@@ -377,15 +380,60 @@ class LL2S(MIFGSM):
         return grad, updates
 
 
+def transformer_attribution(model, variables, x, y, depth: int):
+    """The reference's actual relevance map: Chefer transformer attribution
+    (``ViT_LRP.py:357-369`` via ``ViT_explanation_generator.LRP``, the
+    method ATA-ViT calls at ``ata_vit.py:147-155``): per block
+    cam_l = E_heads[(∇A_l ⊙ A_l)⁺] w.r.t. the class score, rolled out as
+    ∏(cam_l + I) WITHOUT row normalization
+    (``ViT_LRP.compute_rollout_attention:38-49`` — its normalization is
+    commented out upstream).  The attn-map cotangents are gradients w.r.t.
+    zero offsets added at each attention map — the repo's standard hook
+    translation (same trick as FIA's offset probe); pinned against a raw
+    torch twin in ``test_llta_semantics.py``."""
+    from ..models import find_feature
+    from ..models.vit import ViTSurgery
+
+    bb = model.module.backbone
+    B = x.shape[0]
+    P = bb.patch_size
+    n_prefix = 2 if getattr(bb, "distilled", False) else 1
+    N = (x.shape[1] // P) * (x.shape[2] // P) + n_prefix
+    h = bb.num_heads
+    zeros = [jnp.zeros((B, h, N, N), x.dtype) for _ in range(depth)]
+
+    def f(offsets):
+        surgery = ViTSurgery(
+            attn_post=lambda a, meta: a + offsets[meta["block"]])
+        m2 = model.module.clone(backbone=bb.clone(surgery=surgery))
+        logits, state = m2.apply(variables, x, mutable=["intermediates"])
+        score = jnp.take_along_axis(logits, y[:, None], axis=1).sum()
+        return score, state["intermediates"]
+
+    grads, feats = jax.grad(f, has_aux=True)(zeros)
+    eye = jnp.eye(N, dtype=x.dtype)[None]
+    joint = None
+    for b in range(depth):
+        blk = find_feature(feats, f"blocks_{b}")
+        amap = find_feature({"d": blk}, "attn")
+        while isinstance(amap, dict):
+            amap = find_feature({"d": amap}, "attn")
+        cam = jnp.clip(grads[b] * amap, 0.0, None).mean(axis=1) + eye
+        joint = cam if joint is None else cam @ joint
+    return joint
+
+
 class ATA_ViT(MIFGSM):
     """Attention-aware patch attack on ViTs (``ata_vit.py:13-128``),
     faithful to the reference pipeline:
 
     1. **budget allocation** (ATTENTION_RIGION, ``ata_vit.py:130-199``): a
        per-token attention entropy score −Σⱼ r_ji·log₂(r_ji) over the
-       rollout matrix distributes a fixed pixel budget (1024/224², i.e.
-       ~2%, capped at 255 per 16² patch) across the patch grid — attention
-       rollout stands in for the vendored 2,186-LoC LRP stack;
+       relevance matrix distributes a fixed pixel budget (1024/224², i.e.
+       ~2%, capped at 255 per 16² patch) across the patch grid — the
+       relevance is the reference's transformer attribution
+       (``_transformer_attribution``; on a toy ViT plain rollout ranks
+       patches differently — see ``test_llta_semantics.py`` comparison);
     2. **pixel selection** (EMBED_POSITION + make_mask_embed,
        ``ata_vit.py:201-333``): within each patch the budgeted number of
        pixels with the largest input-saliency magnitude form the mask;
@@ -407,7 +455,9 @@ class ATA_ViT(MIFGSM):
         self.depth = model.module.backbone.depth
 
     def _attention_rollout(self, variables, x):
-        """Full rollout matrix (B, N, N) over all blocks."""
+        """Plain attention rollout (B, N, N) — the Abnar-Zuidema baseline
+        (ViT_LRP ``relprop`` method='rollout'), kept for comparison
+        (``tests/test_llta_semantics.py`` quantifies it vs the attribution)."""
         from ..models import find_feature
 
         _, feats = self.model.apply_with_feats(variables, x, "__none__")
@@ -426,6 +476,10 @@ class ATA_ViT(MIFGSM):
             rollout = a if rollout is None else a @ rollout
         return rollout
 
+    def _transformer_attribution(self, variables, x, y):
+        return transformer_attribution(
+            self.model, variables, x, y, self.depth)
+
     def _build_mask(self, variables, x, y):
         bb = self.model.module.backbone
         H, W = x.shape[1], x.shape[2]
@@ -433,8 +487,9 @@ class ATA_ViT(MIFGSM):
         gh, gw = H // P, W // P
         B = x.shape[0]
 
-        # 1. entropy-based per-patch budget (``ata_vit.py:362-383``)
-        r = self._attention_rollout(variables, x)  # (B, N, N)
+        # 1. entropy-based per-patch budget (``ata_vit.py:362-383``) over
+        # the transformer-attribution relevance (the reference's LRP path)
+        r = self._transformer_attribution(variables, x, y)  # (B, N, N)
         rp = jnp.clip(r[:, 1:, 1:], 1e-10, 1.0)
         ent = -jnp.sum(rp * jnp.log2(rp), axis=1)  # (B, n_patches)
         ent = ent / (ent.sum(-1, keepdims=True) + 1e-12)
