@@ -100,21 +100,24 @@ class AIM(GenerativeAttack):
         return adv - x
 
 
-def DiffAttack(backend: str = "auto", **kwargs):
-    """Factory: the real Stable-Diffusion pipeline when converted SD
+class DiffAttack:
+    """Dispatching class: the real Stable-Diffusion pipeline when converted SD
     artifacts exist (``generation/diffattack_sd.py`` — UNet with text
     cross-attention, VAE, CLIP text encoder), else the guided-diffusion
     stand-in below.  ``backend='sd'|'gd'`` forces a choice (tests use 'sd'
-    with tiny random-init modules)."""
-    if backend == "auto":
-        from .diffattack_sd import sd_weights_present
+    with tiny random-init modules).  Implemented via ``__new__`` so the
+    registry's "every key resolves to a class" contract holds."""
 
-        backend = "sd" if sd_weights_present() else "gd"
-    if backend == "sd":
-        from .diffattack_sd import SDDiffAttack
+    def __new__(cls, backend: str = "auto", **kwargs):
+        if backend == "auto":
+            from .diffattack_sd import sd_weights_present
 
-        return SDDiffAttack(**kwargs)
-    return DiffAttackGD(**kwargs)
+            backend = "sd" if sd_weights_present() else "gd"
+        if backend == "sd":
+            from .diffattack_sd import SDDiffAttack
+
+            return SDDiffAttack(**kwargs)
+        return DiffAttackGD(**kwargs)
 
 
 class DiffAttackGD:
