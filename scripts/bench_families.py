@@ -21,6 +21,7 @@ CASES = [
     ("ens", ["resnet50", "vgg16", "mobilenet_v2", "inception_v3"], {},
      "4-CNN logit-mean ensemble"),
     ("tgr", "vit_base_patch16_224", {}, "ViT surrogate, token-grad surgery"),
+    ("l2t", "resnet50", {}, "3 learned 2-op aug chains (10-way op switch)"),
 ]
 
 

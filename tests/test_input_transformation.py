@@ -71,6 +71,51 @@ def test_grid_sample_differentiable():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_translate_sep_matches_gather_translate():
+    # the gather-free separable path must match grid_sample semantics to
+    # float rounding (same taps, same weights) — it replaces the scatter
+    # backward in L2T's op_affine
+    from transferattack_tpu.ops import translate, translate_sep
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    tx = jnp.asarray(rng.uniform(-0.1, 0.1, 4).astype(np.float32))
+    ty = jnp.asarray(rng.uniform(-0.1, 0.1, 4).astype(np.float32))
+    a = np.asarray(translate(x, tx, ty))
+    b = np.asarray(translate_sep(x, tx, ty, max_shift=3))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_rotate_shear_map_matches_direct_rotate():
+    from transferattack_tpu.ops import rotate, rotate_shear
+
+    # zero angle is exactly the identity
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(rotate_shear(x, jnp.zeros(2))), np.asarray(x), atol=0)
+
+    # same coordinate map as the direct warp: on a smooth image the two
+    # resamplers agree closely (three-pass linear vs direct bilinear), and
+    # the rotated centroid lands in the same place
+    H = W = 48
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    blob = np.exp(-(((yy - 14) ** 2 + (xx - 30) ** 2) / 50.0)).astype(np.float32)
+    xb = jnp.asarray(blob[None, :, :, None])
+    ang = jnp.asarray([0.15])
+    r1 = np.asarray(rotate(xb, ang))[0, :, :, 0]
+    r2 = np.asarray(rotate_shear(xb, ang, 0.2))[0, :, :, 0]
+    assert np.abs(r1 - r2).max() < 0.02
+    for im_a, im_b in [(r1, r2)]:
+        ca = ((im_a * yy).sum() / im_a.sum(), (im_a * xx).sum() / im_a.sum())
+        cb = ((im_b * yy).sum() / im_b.sum(), (im_b * xx).sum() / im_b.sum())
+        assert abs(ca[0] - cb[0]) < 0.01 and abs(ca[1] - cb[1]) < 0.01
+
+    g = jax.grad(lambda im: (rotate_shear(im, ang, 0.2) ** 2).sum())(xb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_tim_kernel_matches_scipy_free_formula():
     from transferattack_tpu.ops import gaussian_kernel
 

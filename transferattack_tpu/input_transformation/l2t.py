@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..attack import Attack, AttackState
-from ..ops import rotate as rot_op
+from ..ops import rotate_shear, translate_sep
 from .dim import random_resize_pad
 from ..ops.blocks import block_id, bsr_lengths, permute_strips
 from ..ops.dct import dct_2d, idct_2d
@@ -26,8 +26,13 @@ def _apply_op(x, op_idx, key, eps):
     B = x.shape[0]
 
     def op_rotate(k):
+        # rotate_shear, not the grid_sample-parity rot_op: under the vmapped
+        # op switch every branch executes, and the 2-D warp's scatter-add
+        # backward alone cost ~1012 ms per step (vs ~32 ms for every other
+        # op) — it WAS the 0.95 img/s L2T row.  The reference rotates via
+        # torchvision (l2t.py:60-85), a different resampler anyway.
         ang = jax.random.uniform(k, (B,), minval=-0.2, maxval=0.2)
-        return rot_op(x, ang)
+        return rotate_shear(x, ang, max_angle=0.2)
 
     def op_sim(k):
         s = 2.0 ** -jax.random.randint(k, (), 0, 5).astype(x.dtype)
@@ -77,12 +82,13 @@ def _apply_op(x, op_idx, key, eps):
         )
 
     def op_affine(k):
+        # translate_sep is bit-equal to the gather translate but its
+        # backward is pads+multiplies, not a scatter (same 1012 ms→ms story
+        # as op_rotate above); ±0.1 normalized → ≤11.2 px, bound 12
         k1, k2 = jax.random.split(k)
         tx = jax.random.uniform(k1, (B,), minval=-0.1, maxval=0.1)
         ty = jax.random.uniform(k2, (B,), minval=-0.1, maxval=0.1)
-        from ..ops import translate
-
-        return translate(x, tx, ty)
+        return translate_sep(x, tx, ty, max_shift=12)
 
     return jax.lax.switch(
         op_idx,

@@ -12,8 +12,11 @@ from .image import (  # noqa: F401
     grid_sample,
     resize_bilinear,
     rotate,
+    rotate_shear,
     scale_around_center,
+    shift_interp,
     translate,
+    translate_sep,
 )
 from .dct import dct_2d, idct_2d  # noqa: F401
 from .kernels import (  # noqa: F401

@@ -130,3 +130,93 @@ def scale_around_center(x, factor):
 def resize_bilinear(x, h: int, w: int):
     """Half-pixel bilinear resize (torch ``interpolate(align_corners=False)``)."""
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+
+
+def shift_interp(x, shift, axis: int, max_shift: int):
+    """Gather-free 1-D linear-interp shift with zero padding.
+
+    ``out[o] = (1-f)·x[o+k] + f·x[o+k+1]`` along ``axis`` where
+    ``shift = k+f`` (sampling convention ``src = out + shift``: positive
+    shift moves content toward index 0, same as :func:`translate`).
+    ``shift`` must be broadcastable to ``x.shape[:3]`` with size 1 on the
+    shifted axis — e.g. ``(B, 1, 1)`` for a per-image shift along W,
+    ``(B, H, 1)`` for a per-row shear.  Taps outside the image read zero
+    (grid_sample zero padding); shifts are clamped to ``±max_shift``.
+
+    Built from ``2·max_shift+2`` static slices of a zero-padded copy with
+    2-hot weights, so both directions are pads, slices, and multiply-adds:
+    no gather in the forward and — the point — no scatter-add in the
+    backward.  The TPU's scalar scatter path makes a (96,224,224,3) warp
+    fwd+bwd cost ~1012 ms; this form measures in single-digit ms (L2T
+    probe, BASELINE.md round 3).  Taps run in float32 like
+    :func:`grid_sample` (bf16 scatter faults + interp error, round 2).
+    """
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    M = int(max_shift)
+    L = x.shape[axis]
+    s = jnp.clip(jnp.asarray(shift, jnp.float32), -M, M)
+    k = jnp.floor(s)
+    f = s - k
+    kM = k + M
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (M, M + 1)
+    xp = jnp.pad(xf, pad)
+    out = jnp.zeros_like(xf)
+    for t in range(2 * M + 2):
+        w = jnp.where(kM == t, 1.0 - f, 0.0) + jnp.where(kM + 1 == t, f, 0.0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(t, t + L)
+        out = out + xp[tuple(sl)] * w[..., None]
+    return out.astype(in_dtype)
+
+
+def translate_sep(x, tx, ty, max_shift: int):
+    """:func:`translate` (normalized offsets, zero padding) as two
+    gather-free :func:`shift_interp` passes.
+
+    Bilinear zero-padded translation is exactly separable — the 4-tap
+    weights factor as ``wx·wy`` and the tap rows/columns are independent —
+    so this matches :func:`translate` to float rounding while avoiding its
+    scatter-add backward.  ``max_shift`` bounds ``|t|·{W,H}/2`` in pixels
+    and must be static.
+    """
+    B, H, W, _ = x.shape
+    tx = jnp.broadcast_to(jnp.asarray(tx, jnp.float32), (B,))
+    ty = jnp.broadcast_to(jnp.asarray(ty, jnp.float32), (B,))
+    out = shift_interp(x, (tx * (W / 2.0))[:, None, None], 2, max_shift)
+    return shift_interp(out, (ty * (H / 2.0))[:, None, None], 1, max_shift)
+
+
+def rotate_shear(x, angle, max_angle: float = 0.25):
+    """Rotation as the Paeth three-shear decomposition — three gather-free
+    :func:`shift_interp` passes instead of a 2-D warp.
+
+    ``Shx(−tan θ/2)·Shy(sin θ)·Shx(−tan θ/2) = R(θ)`` exactly as a
+    coordinate map; each shear is a per-row (or per-column) 1-D shift, so
+    the whole resample is slices and multiply-adds with no gather/scatter
+    (the same rewrite that made BSR 9.7× faster, ``bsr.py``, but with
+    per-image angles, which rules out that file's shared dense matrices).
+    Interpolation is per-pass linear — the classic three-pass rotation —
+    rather than direct bilinear: same map, slightly different resampling
+    (max abs pixel diff ≈2e-2 vs :func:`rotate` at |θ|≤0.2 on natural
+    images).  Use for augmentation sampling (the reference's L2T rotates
+    via ``torchvision.functional.rotate``, itself a different resampler —
+    ``l2t.py:60-85``); keep :func:`rotate` where grid_sample parity is
+    pinned.  ``max_angle`` (radians, static) bounds the shear tap windows.
+    """
+    import math
+
+    B, H, W, _ = x.shape
+    a = jnp.broadcast_to(jnp.asarray(angle, jnp.float32), (B,))
+    alpha = -jnp.tan(a / 2.0)
+    beta = jnp.sin(a)
+    y_norm = (2.0 * jnp.arange(H, dtype=jnp.float32) + 1.0) / H - 1.0
+    x_norm = (2.0 * jnp.arange(W, dtype=jnp.float32) + 1.0) / W - 1.0
+    s_x = alpha[:, None] * y_norm[None, :] * (W / 2.0)  # (B, H)
+    s_y = beta[:, None] * x_norm[None, :] * (H / 2.0)  # (B, W)
+    Mx = int(math.ceil(math.tan(max_angle / 2.0) * (W / 2.0)))
+    My = int(math.ceil(math.sin(max_angle) * (H / 2.0)))
+    out = shift_interp(x, s_x[:, :, None], 2, Mx)
+    out = shift_interp(out, s_y[:, None, :], 1, My)
+    return shift_interp(out, s_x[:, :, None], 2, Mx)
