@@ -22,6 +22,8 @@ CASES = [
      "4-CNN logit-mean ensemble"),
     ("tgr", "vit_base_patch16_224", {}, "ViT surrogate, token-grad surgery"),
     ("l2t", "resnet50", {}, "3 learned 2-op aug chains (10-way op switch)"),
+    ("idaa", "resnet50", {}, "10 warp copies + local mixup, targeted"),
+    ("anda", "resnet50", {}, "25 translated views per iteration"),
 ]
 
 

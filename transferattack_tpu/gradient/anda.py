@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attack import Attack, AttackState, softmax_cross_entropy
-from ..ops import affine_warp
+from ..ops import translate_sep
 from ..utils import img_max, img_min
 
 
@@ -64,9 +64,15 @@ class ANDA(Attack):
     def ens_grads(self, variables, xt, y, key):
         """(n_ens, B, H, W, C) per-view gradients w.r.t. the pre-warp image."""
 
+        # the views are pure translations, so translate_sep (gather-free,
+        # bit-equal to the grid_sample path — see ops/image.py) replaces
+        # affine_warp: 25 scatter-add backwards per iteration become pads
+        # and multiplies
+        max_shift = int(np.ceil(self.aug_max * max(xt.shape[1], xt.shape[2]) / 2)) + 1
+
         def one_view(theta):
             def loss_fn(img):
-                aug = affine_warp(img, jnp.broadcast_to(theta[None], (img.shape[0], 2, 3)))
+                aug = translate_sep(img, theta[0, 2], theta[1, 2], max_shift)
                 logits = self.model.apply(variables, aug)
                 ce = softmax_cross_entropy(logits, y).sum()
                 return -ce if self.targeted else ce

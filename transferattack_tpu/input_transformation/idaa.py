@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..attack import Attack, AttackState, softmax_cross_entropy
-from ..ops import rotate as rot_op, translate
+from ..ops import rotate_shear, translate_sep
 from ..utils import img_max, img_min
 
 
@@ -26,13 +26,15 @@ def _random_augment(x, key, aug_p=1.0):
     # horizontal flip
     do_h = jax.random.bernoulli(k1, aug_p * 0.5)
     x = jnp.where(do_h, x[:, :, ::-1, :], x)
-    # rotation ±15°
+    # rotation ±15° — gather-free three-shear (see ops/image.py): the 2-D
+    # warp's scatter-add backward was both the cost (~1 s/step, L2T probe)
+    # and the trigger for the v5e bf16 runtime fault worked around below
     ang = jax.random.uniform(k2, (B,), minval=-15.0, maxval=15.0) * jnp.pi / 180
-    x = rot_op(x, ang)
-    # translation ±10%
+    x = rotate_shear(x, ang, max_angle=15.0 * jnp.pi / 180)
+    # translation ±10% — exactly-separable gather-free form
     tx = jax.random.uniform(k3, (B,), minval=-0.1, maxval=0.1)
     ty = jax.random.uniform(k4, (B,), minval=-0.1, maxval=0.1)
-    x = translate(x, tx, ty)
+    x = translate_sep(x, tx, ty, max_shift=12)
     # random erasing (fill 1, small box)
     H, W = x.shape[1], x.shape[2]
     eh = max(int(H * 0.15), 1)
@@ -78,10 +80,12 @@ class IDAA(Attack):
                          targeted=targeted, random_start=random_start, norm=norm,
                          loss=loss, attack=attack, **kwargs)
         self.num_scale = int(num_scale)
-        # the fused warp+model pass faults the v5e runtime at bfloat16 once
-        # the effective batch reaches ~160 (n·B = 320 and chunk-of-5 → 160
-        # both crashed; 64 and 80 run); two copies per sequential group
-        # keeps the default B=32 at effective 64
+        # two copies per sequential group: originally a workaround for a
+        # v5e bf16 runtime fault in the fused warp backward (n·B ≥ 160
+        # crashed); the gather-free warps removed the fault, but the
+        # measured A/B keeps the chunking for performance — the single
+        # fused n·B=320 ResNet-50 backward spills (3.72 img/s vs 15.48
+        # chunked, round 3, BASELINE.md)
         self.logits_chunk = 2
         self.gamma = float(gamma)
         self.mixup_num = int(mixup_num)

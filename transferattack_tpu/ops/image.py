@@ -9,6 +9,8 @@ through torch's grid_sample backward.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -132,6 +134,31 @@ def resize_bilinear(x, h: int, w: int):
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
 
 
+def _shift_loop(xf, shift, axis: int, M: int, diff_weights: bool = False):
+    """Σ_t w_t(shift)·slice_t(pad(x)) — the shared fwd/bwd kernel of
+    :func:`shift_interp`.  ``diff_weights`` swaps the 2-hot interpolation
+    weights (1−f, f) for (−1, +1), yielding ∂out/∂shift instead."""
+    L = xf.shape[axis]
+    s = jnp.clip(jnp.asarray(shift, jnp.float32), -M, M)
+    k = jnp.floor(s)
+    f = s - k
+    kM = k + M
+    pad = [(0, 0)] * xf.ndim
+    pad[axis] = (M, M + 1)
+    xp = jnp.pad(xf, pad)
+    out = jnp.zeros_like(xf)
+    for t in range(2 * M + 2):
+        if diff_weights:
+            w = jnp.where(kM + 1 == t, 1.0, 0.0) - jnp.where(kM == t, 1.0, 0.0)
+        else:
+            w = jnp.where(kM == t, 1.0 - f, 0.0) + jnp.where(kM + 1 == t, f, 0.0)
+        sl = [slice(None)] * xf.ndim
+        sl[axis] = slice(t, t + L)
+        out = out + xp[tuple(sl)] * w[..., None]
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def shift_interp(x, shift, axis: int, max_shift: int):
     """Gather-free 1-D linear-interp shift with zero padding.
 
@@ -150,25 +177,43 @@ def shift_interp(x, shift, axis: int, max_shift: int):
     fwd+bwd cost ~1012 ms; this form measures in single-digit ms (L2T
     probe, BASELINE.md round 3).  Taps run in float32 like
     :func:`grid_sample` (bf16 scatter faults + interp error, round 2).
+
+    The VJP is hand-written because the 2-tap band is self-transpose:
+    ``S(s)ᵀ = S(−s)`` (contributions ``o=i−k`` at weight ``1−f`` and
+    ``o=i−k−1`` at weight ``f`` are exactly the taps of the negated
+    shift), so the backward is the same forward-style loop and autodiff
+    never sees the tap sum — without this, XLA materializes per-tap
+    (n·B,H,W,C) temps and a 10-copy IDAA pass OOMs at 71 GB HBM.
     """
-    in_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    return _shift_loop(x.astype(jnp.float32), shift, axis,
+                       int(max_shift)).astype(x.dtype)
+
+
+def _shift_interp_fwd(x, shift, axis, max_shift):
+    return shift_interp(x, shift, axis, max_shift), (x, shift)
+
+
+def _shift_interp_bwd(axis, max_shift, res, g):
+    x, shift = res
     M = int(max_shift)
-    L = x.shape[axis]
-    s = jnp.clip(jnp.asarray(shift, jnp.float32), -M, M)
-    k = jnp.floor(s)
-    f = s - k
-    kM = k + M
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (M, M + 1)
-    xp = jnp.pad(xf, pad)
-    out = jnp.zeros_like(xf)
-    for t in range(2 * M + 2):
-        w = jnp.where(kM == t, 1.0 - f, 0.0) + jnp.where(kM + 1 == t, f, 0.0)
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(t, t + L)
-        out = out + xp[tuple(sl)] * w[..., None]
-    return out.astype(in_dtype)
+    gf = g.astype(jnp.float32)
+    s = jnp.asarray(shift, jnp.float32)
+    x_ct = _shift_loop(gf, -s, axis, M).astype(x.dtype)
+    # ∂out/∂shift = x[o+k+1] − x[o+k]; reduce g·(∂out/∂shift) onto shift's
+    # shape (channels always, plus every broadcast axis).  Dead-code
+    # eliminated by XLA when the caller's shift is a random draw.
+    dxds = _shift_loop(x.astype(jnp.float32), s, axis, M, diff_weights=True)
+    red = (gf * dxds).sum(-1)
+    s_shape = jnp.shape(jnp.asarray(shift))
+    red = red.sum(tuple(range(red.ndim - len(s_shape))))
+    for d, size in enumerate(s_shape):
+        if size == 1 and red.shape[d] != 1:
+            red = red.sum(d, keepdims=True)
+    s_ct = red.astype(jnp.asarray(shift).dtype)
+    return x_ct, s_ct
+
+
+shift_interp.defvjp(_shift_interp_fwd, _shift_interp_bwd)
 
 
 def translate_sep(x, tx, ty, max_shift: int):
