@@ -116,6 +116,28 @@ def test_rotate_shear_map_matches_direct_rotate():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_rotate_mm_static_angles():
+    # OPS's fixed-angle rotation: exact at quarter turns (pure rot90),
+    # three-pass resampling at residual angles — no gather in either
+    # direction (the gather warp faults the TPU worker, BASELINE.md r3)
+    from transferattack_tpu.ops import rotate, rotate_mm
+
+    H = W = 32
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    blob = np.exp(-(((yy - 9) ** 2 + (xx - 20) ** 2) / 30.0)).astype(np.float32)
+    x = jnp.asarray(blob[None, :, :, None])
+    for deg in [90, -90, 180]:
+        r1 = np.asarray(rotate(x, jnp.asarray([deg * np.pi / 180])))
+        r2 = np.asarray(rotate_mm(x, deg))
+        np.testing.assert_allclose(r1, r2, atol=1e-5)
+    for deg in [5, -15, 45]:
+        r1 = np.asarray(rotate(x, jnp.asarray([deg * np.pi / 180])))
+        r2 = np.asarray(rotate_mm(x, deg))
+        assert np.abs(r1 - r2).max() < 0.06
+    g = jax.grad(lambda im: (rotate_mm(im, 45) ** 2).sum())(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 def test_tim_kernel_matches_scipy_free_formula():
     from transferattack_tpu.ops import gaussian_kernel
 

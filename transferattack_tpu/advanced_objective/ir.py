@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..attack import Attack, AttackState, softmax_cross_entropy
 from ..gradient.mifgsm import MIFGSM
 from ..models import tap_key
-from ..ops import affine_warp
+from ..ops import affine_warp_fast
 from ..utils import img_max, img_min
 
 
@@ -187,7 +187,9 @@ class TRAP(MIFGSM):
                          random_start=random_start, norm=norm, loss=loss,
                          attack=attack, **kwargs)
         self.beta = float(beta)
-        self.enhance_epoch = int(epoch) - int(baseline_epoch)
+        # epoch < baseline_epoch (e.g. a CLI --epoch override) would give a
+        # negative enhance scan length; clamp to 0 (baseline-only attack)
+        self.enhance_epoch = max(0, int(epoch) - int(baseline_epoch))
         self.probb = float(probb)
         self.coeff = float(coeff)
         self.feature_layer = feature_layer
@@ -212,7 +214,11 @@ class TRAP(MIFGSM):
         theta = jnp.stack(
             [jnp.stack([a, b, tx], -1), jnp.stack([c, d, ty], -1)], axis=1
         )
-        warped = affine_warp(x, theta)
+        # affine_warp_fast: gather-only backward (exact scatter adjoint ran
+        # this attack at 0.65 img/s and is the v5e worker-crash class; the
+        # warp is a random augmentation, so the approximate adjoint —
+        # cosine >0.99 vs exact — is the right trade, BASELINE.md r3)
+        warped = affine_warp_fast(x, theta)
         apply = jax.random.bernoulli(key, self.probb, (1,))[0]
         return jnp.where(apply, warped, x)
 

@@ -58,7 +58,7 @@ class MUMODIG(MIFGSM):
     # --- the 7 random transforms (``mumodig.py:107-143``) ---
 
     def _rand_transform(self, x, key):
-        from ..ops import rotate
+        from ..ops import rotate_shear
 
         k_outer, k_op, k_param = jax.random.split(key, 3)
         H, W = x.shape[1], x.shape[2]
@@ -78,8 +78,10 @@ class MUMODIG(MIFGSM):
             return x[:, :, ::-1, :]
 
         def rrotate(k):
+            # per-image random angles ≤45°: gather-free three-shear (the
+            # warp gathers fault the v5e worker under the vmapped switch)
             ang = jax.random.uniform(k, (x.shape[0],), minval=-45.0, maxval=45.0)
-            return rotate(x, ang * jnp.pi / 180.0)
+            return rotate_shear(x, ang * jnp.pi / 180.0, max_angle=jnp.pi / 4)
 
         def affine(k):
             i = jax.random.randint(k, (), 0, 5)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import affine_warp
+from ..ops import affine_warp_fast
 from .dim import random_resize_pad
 
 
@@ -38,7 +38,7 @@ def _affine(x, a, b, tx, c, d, ty):
     row0 = jnp.stack([a, b, tx])
     row1 = jnp.stack([c, d, ty])
     theta = jnp.broadcast_to(jnp.stack([row0, row1]), (B, 2, 3)).astype(x.dtype)
-    return affine_warp(x, theta)
+    return affine_warp_fast(x, theta)
 
 
 def _one(v):

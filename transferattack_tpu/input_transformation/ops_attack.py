@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attack import Attack, AttackState
-from ..ops import rotate as rot_op
+from ..ops import rotate_mm
 from .dim import random_resize_pad
 
 ROT_ANGLES = [5, -5, 15, -15, 45, -45, 90, -90, 180]
@@ -34,9 +34,9 @@ def apply_basic_op(x, op_idx, key):
     branches.append(lambda k: jnp.roll(x, jax.random.randint(k, (), 0, H), axis=1))
     branches.append(lambda k: jnp.roll(x, jax.random.randint(k, (), 0, W), axis=2))
     for ang in ROT_ANGLES:
-        branches.append(
-            lambda k, a=ang: rot_op(x, jnp.full((x.shape[0],), a * jnp.pi / 180.0))
-        )
+        # static shared angles: dense three-shear einsums (rot90-exact at
+        # ±90/180) — the gather warp's fwd/bwd both fault the v5e worker
+        branches.append(lambda k, a=ang: rotate_mm(x, a))
     for s in SCALES:
         branches.append(lambda k, s=s: x / s)
     for r in DIM_RATES:

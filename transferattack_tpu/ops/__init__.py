@@ -9,9 +9,12 @@ everything is differentiable and jit/vmap-safe.
 from .image import (  # noqa: F401
     affine_grid,
     affine_warp,
+    affine_warp_fast,
     grid_sample,
     resize_bilinear,
     rotate,
+    rotate_fast,
+    rotate_mm,
     rotate_shear,
     scale_around_center,
     shift_interp,

@@ -78,6 +78,55 @@ def affine_warp(x, theta):
     return grid_sample(x, grid)
 
 
+@jax.custom_vjp
+def affine_warp_fast(x, theta):
+    """:func:`affine_warp` with a gather-only backward.
+
+    The exact VJP of a bilinear warp is a scatter-add, which runs through
+    the TPU's scalar engine (~1 s per (96,224,224,3) pass) and was
+    implicated in v5e worker crashes (round 2/3, BASELINE.md).  This
+    variant substitutes the continuous-operator adjoint: for sampling map
+    ``src = N·p + τ`` (normalized coords), ``⟨g, W_N x⟩ = ⟨|det N|⁻¹ ·
+    W_{N⁻¹} g, x⟩`` — the cotangent is *inverse-warped*, another gather.
+    For bilinear resampling this is approximate at the interpolation-
+    kernel scale (cosine similarity vs the exact adjoint >0.99 on smooth
+    cotangents); every consumer (IR/TRAP's RandomAffine, AITL's affine
+    op, OPS's rotations) uses the warp as a random augmentation whose
+    aggregated gradient sign is what matters.  **No gradient flows to
+    theta** (the parameters are random draws in all consumers); use
+    :func:`affine_warp` where exact autodiff through the warp or theta
+    gradients are required.
+    """
+    return affine_warp(x, theta)
+
+
+def _affine_warp_fast_fwd(x, theta):
+    return affine_warp(x, theta), theta
+
+
+def _affine_warp_fast_bwd(theta, g):
+    th = theta.astype(jnp.float32)
+    N = th[:, :, :2]
+    tau = th[:, :, 2]
+    det = N[:, 0, 0] * N[:, 1, 1] - N[:, 0, 1] * N[:, 1, 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
+    Ninv = jnp.stack(
+        [
+            jnp.stack([N[:, 1, 1], -N[:, 0, 1]], -1),
+            jnp.stack([-N[:, 1, 0], N[:, 0, 0]], -1),
+        ],
+        axis=1,
+    ) * inv_det[:, None, None]
+    tau_inv = -jnp.einsum("bij,bj->bi", Ninv, tau)
+    theta_inv = jnp.concatenate([Ninv, tau_inv[..., None]], axis=-1)
+    x_ct = affine_warp(g.astype(jnp.float32), theta_inv)
+    x_ct = (x_ct / jnp.abs(det)[:, None, None, None]).astype(g.dtype)
+    return x_ct, jnp.zeros_like(theta)
+
+
+affine_warp_fast.defvjp(_affine_warp_fast_fwd, _affine_warp_fast_bwd)
+
+
 def translate(x, tx, ty):
     """Translate by normalized offsets (torch affine_grid convention: the
     theta translation column shifts the *sampling* grid, so +tx samples from
@@ -95,6 +144,82 @@ def translate(x, tx, ty):
         axis=1,
     )
     return affine_warp(x, theta)
+
+
+def rotate_fast(x, angle):
+    """:func:`rotate` on the :func:`affine_warp_fast` path (gather-only
+    backward, no theta gradient) — for rotation *augmentations* inside
+    vmapped op switches where every branch executes and the exact
+    scatter-add adjoint is the dominant cost (OPS, MuMoDIG)."""
+    B = x.shape[0]
+    a = jnp.broadcast_to(jnp.asarray(angle, x.dtype), (B,))
+    c, s = jnp.cos(a), jnp.sin(a)
+    zeros = jnp.zeros_like(a)
+    theta = jnp.stack(
+        [
+            jnp.stack([c, -s, zeros], axis=-1),
+            jnp.stack([s, c, zeros], axis=-1),
+        ],
+        axis=1,
+    )
+    return affine_warp_fast(x, theta)
+
+
+def _lerp_rows(src, size):
+    """(..., N_out, size) two-tap linear-interp operator rows from per-output
+    source coordinates; taps outside [0, size) contribute zero."""
+    p0 = jnp.floor(src)
+    w = (src - p0)[..., None]
+    grid = jnp.arange(size, dtype=src.dtype)
+    hit0 = (grid == p0[..., None]).astype(src.dtype)
+    hit1 = (grid == p0[..., None] + 1.0).astype(src.dtype)
+    return hit0 * (1.0 - w) + hit1 * w
+
+
+def rotate_mm(x, angle_deg: float):
+    """Rotation by a *static, batch-shared* angle as dense banded matmuls.
+
+    Exact quarter turns compose via ``jnp.rot90``; the ±45° residual is the
+    Paeth three-shear, each pass an einsum with an on-the-fly (H, W, W)
+    two-tap operator (shared across the batch — the whole-image version of
+    BSR's strip trick).  No gather anywhere in forward or backward: for
+    OPS's fixed-angle rotation branches, where both the scatter adjoint
+    and (since round 3) the plain gather crash the v5e worker.  Matches
+    :func:`rotate` to quarter-turn-exactness at 90/180 and to three-pass
+    resampling at residual angles (same coordinate map).
+    """
+    import math
+
+    B, H, W, C = x.shape
+    a = float(angle_deg) % 360.0
+    if a > 180.0:
+        a -= 360.0
+    q = int(round(a / 90.0))
+    psi = math.radians(a - 90.0 * q)
+    # rotate(x, θ) samples src = R(θ)·out; rot90(k=1) on (H, W) axes equals
+    # rotate by −90° in that convention (verified against rotate() in
+    # tests), so quarter turns use k = q
+    out = jnp.rot90(x, k=q % 4, axes=(1, 2)) if q % 4 else x
+    if abs(psi) < 1e-12:
+        return out
+    in_dtype = out.dtype
+    xf = out.astype(jnp.float32)
+    alpha = -math.tan(psi / 2.0)
+    beta = math.sin(psi)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32)
+    y_norm = (2.0 * rows + 1.0) / H - 1.0
+    x_norm = (2.0 * cols + 1.0) / W - 1.0
+    # pass 1/3 (x-shear): src_c(h, o) = o + α·y_norm(h)·W/2, (H, W, W)
+    src_x = cols[None, :] + (alpha * (W / 2.0)) * y_norm[:, None]
+    Mx = _lerp_rows(src_x, W)
+    # pass 2 (y-shear): src_r(w, v) = v + β·x_norm(w)·H/2, (W, H, H)
+    src_y = rows[None, :] + (beta * (H / 2.0)) * x_norm[:, None]
+    My = _lerp_rows(src_y, H)
+    h1 = jnp.einsum("hvw,bhwc->bhvc", Mx, xf)
+    h2 = jnp.einsum("wvh,bhwc->bvwc", My, h1)
+    h3 = jnp.einsum("hvw,bhwc->bhvc", Mx, h2)
+    return h3.astype(in_dtype)
 
 
 def rotate(x, angle):
