@@ -30,6 +30,23 @@ INCEPTION_STD = (0.5, 0.5, 0.5)
 _MODEL_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], int, tuple, tuple]] = {}
 
 
+def LN(**kw):
+    """`nn.LayerNorm` with an opt-in bf16-statistics experiment toggle.
+
+    Flax upcasts normalization statistics to float32
+    (``force_float32_reductions``), which under a bf16 model puts a
+    convert→reduce→convert chain around every LayerNorm — 30.6% of the
+    MI-FGSM/ViT-B step in the round-3 leaf-op trace
+    (``convert_reduce_fusion``, BASELINE.md).  ``TA_TPU_LN=bf16`` keeps
+    the statistics in bf16 — measured and REJECTED: 95.8 vs 125.9 img/s
+    (bf16 reductions defuse XLA's pipeline; BASELINE.md r3).  Off by
+    default; kept as the recorded experiment.
+    """
+    if os.environ.get("TA_TPU_LN", "") == "bf16":
+        kw.setdefault("force_float32_reductions", False)
+    return nn.LayerNorm(**kw)
+
+
 def register_model(name, input_size=224, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     def deco(builder):
         _MODEL_REGISTRY[name] = (builder, input_size, mean, std)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from . import register_model
+from . import LN, register_model
 from .vit import (DEFAULT_VIT_SURGERY, Mlp, PatchEmbed, ViTSurgery,
                   apply_bwd_hook)
 
@@ -126,8 +126,8 @@ class LayerScaleBlock(nn.Module):
         x = x + g1 * TalkingHeadAttn(
             self.dim, self.num_heads, self.surgery, self.block_index,
             name="attn",
-        )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        )(LN(epsilon=1e-6, name="norm1")(x))
+        h = LN(epsilon=1e-6, name="norm2")(x)
         h = apply_bwd_hook(
             h, self.surgery.mlp_in_bwd, {"block": self.block_index}
         )
@@ -157,8 +157,8 @@ class LayerScaleBlockClassAttn(nn.Module):
         cls = cls + g1 * ClassAttn(
             self.dim, self.num_heads, self.surgery, self.block_index,
             name="attn",
-        )(nn.LayerNorm(epsilon=1e-6, name="norm1")(u))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(cls)
+        )(LN(epsilon=1e-6, name="norm1")(u))
+        h = LN(epsilon=1e-6, name="norm2")(cls)
         h = apply_bwd_hook(
             h, self.surgery.mlp_in_bwd, {"block": self.block_index}
         )
@@ -204,7 +204,7 @@ class Cait(nn.Module):
                 self.cls_surgery, i, name=f"blocks_token_only_{i}",
             )(x, cls)
         x = jnp.concatenate([cls, x], axis=1)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = LN(epsilon=1e-6, name="norm")(x)
         feats = x[:, 0]
         if features_only:
             return feats

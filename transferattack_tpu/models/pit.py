@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from . import register_model
+from . import LN, register_model
 from .vit import Block, DEFAULT_VIT_SURGERY, ViTSurgery
 
 
@@ -78,7 +78,7 @@ class PiT(nn.Module):
                     name=f"transformers_{stage}_pool",
                 )(tokens, cls, hw)
 
-        cls = nn.LayerNorm(epsilon=1e-6, name="norm")(cls)
+        cls = LN(epsilon=1e-6, name="norm")(cls)
         feats = cls[:, 0]
         if features_only:
             return feats

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from . import register_model
+from . import LN, register_model
 from .vit import PatchEmbed
 
 
@@ -107,7 +107,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, H, W)
         shift = self.shift if ws < min(H, W) else 0
         shortcut = x
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        h = LN(epsilon=1e-5, name="norm1")(x)
         if shift > 0:
             h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
         wins = window_partition(h, ws)
@@ -119,7 +119,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
         x = shortcut + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = LN(epsilon=1e-5, name="norm2")(x)
         h = SwinMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
         return x + h
 
@@ -136,7 +136,7 @@ class PatchMerging(nn.Module):
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
             axis=-1,
         )
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = LN(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -156,7 +156,7 @@ class SwinTransformer(nn.Module):
         x = PatchEmbed(self.embed_dim, self.patch_size, name="patch_embed")(x)
         x = x.reshape(B, H // self.patch_size, W // self.patch_size,
                       self.embed_dim)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        x = LN(epsilon=1e-5, name="patch_norm")(x)
         dim = self.embed_dim
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for j in range(depth):
@@ -169,7 +169,7 @@ class SwinTransformer(nn.Module):
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim, name=f"layers_{i}_downsample")(x)
                 dim *= 2
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = LN(epsilon=1e-5, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))
         if features_only:
             return x

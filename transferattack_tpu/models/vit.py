@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from . import register_model
+from . import LN, register_model
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,8 +217,8 @@ class Block(nn.Module):
     def __call__(self, x):
         x = x + Attention(
             self.dim, self.num_heads, self.surgery, self.block_index, name="attn"
-        )(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        )(LN(epsilon=1e-6, name="norm1")(x))
+        h = LN(epsilon=1e-6, name="norm2")(x)
         if self.surgery.mlp_in_post is not None:
             h = self.surgery.mlp_in_post(h, {"block": self.block_index})
         # TGR's mlp hook fires on the gradient at the mlp-branch input
@@ -306,7 +306,7 @@ class VisionTransformer(nn.Module):
                 self.dim, self.num_heads, self.mlp_ratio, self.surgery, i,
                 name=f"blocks_{i}",
             )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = LN(epsilon=1e-6, name="norm")(x)
         feats = x[:, 0]
         if features_only:
             return feats
