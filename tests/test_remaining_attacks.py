@@ -16,7 +16,8 @@ RN = dict(model_name="resnet18", pretrained=False, input_size=32, epoch=3)
 CASES = [
     ("su", dict(model_name="toy_cnn", feature_layer="stage2", epoch=3), True),
     ("idaa", dict(model_name="toy_cnn", num_scale=3, epoch=3), True),
-    ("everywhere", dict(model_name="toy_cnn", epoch=3, N=3, num_blocks=4), True),
+    ("everywhere", dict(model_name="toy_cnn", epoch=3,
+                        layers=("stage1", "stage2"), di_margin=8), True),
     ("l2t", dict(model_name="toy_cnn", epoch=3, num_scale=2), False),
     ("atta", dict(model_name="toy_cnn", epoch=3), False),
     ("stm", dict(model_name="toy_cnn", num_style=3, epoch=3, sample_chunk=1), False),
@@ -57,6 +58,33 @@ def test_remaining_attack_constraints(toy_batch, name, overrides, targeted):
     adv = x + delta
     assert adv.min() >= -1e-5 and adv.max() <= 1 + 1e-5, f"{name}: bounds"
     assert np.any(delta != 0), f"{name}: zero perturbation"
+
+
+def test_everywhere_semantics():
+    """Everywhere mechanics pinned to the reference loop
+    (``everywhere.py:284-409``): 3×3 floor-division masks that leave the
+    last H%3 rows/cols outside every region, disjoint coverage, one
+    iteration consumed by clean-feature recording, and the L1-*sum*
+    momentum normalization."""
+    from transferattack_tpu.input_transformation.idaa import EverywhereAttack
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = EverywhereAttack(model_name="toy_cnn", epoch=4,
+                               layers=("stage1", "stage2"), di_margin=8)
+    m = np.asarray(atk._masks(32, 32))
+    assert m.shape == (9, 32, 32, 1)
+    assert m.sum(0).max() == 1.0  # regions are disjoint
+    # 32 // 3 = 10: rows/cols 30-31 are outside every mask (reference floor)
+    assert m[:, 30:].sum() == 0 and m[:, :, 30:].sum() == 0
+    assert m.sum() == 9 * 10 * 10
+    assert atk.epoch == 3  # consumed_iteration deducted
+    import jax.numpy as jnp
+
+    g = np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32)
+    mom = np.asarray(atk.get_momentum(jnp.asarray(g), jnp.zeros_like(g)))
+    expect = g / np.abs(g).sum(axis=(1, 2, 3), keepdims=True)
+    np.testing.assert_allclose(mom, expect, rtol=1e-5)
 
 
 def test_ata_vit_patch_attack(toy_batch):
