@@ -87,6 +87,37 @@ def test_everywhere_semantics():
     np.testing.assert_allclose(mom, expect, rtol=1e-5)
 
 
+def test_idaa_semantics():
+    """IDAA mechanics pinned to the reference (``idaa.py:133-204``): the
+    tanh parameterization spans exactly the per-pixel box
+    [−min(x, eps), min(1−x, eps)] with the reference's inverted orientation
+    (``ub, lb = get_bound(...)`` swap), so any w yields a valid delta; the
+    update is Adam descent without sign or bias correction."""
+    import jax.numpy as jnp
+
+    from transferattack_tpu.input_transformation.idaa import IDAA
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = IDAA(model_name="toy_cnn", num_scale=3, epoch=2)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    lb, ub = atk._bounds(x)
+    # w → +inf hits ub = −min(x, eps); w → −inf hits lb = min(1−x, eps)
+    np.testing.assert_allclose(
+        atk._pert(jnp.full_like(x, 50.0), lb, ub),
+        -np.minimum(np.asarray(x), EPS), atol=1e-6)
+    np.testing.assert_allclose(
+        atk._pert(jnp.full_like(x, -50.0), lb, ub),
+        np.minimum(1 - np.asarray(x), EPS), atol=1e-6)
+    # arbitrary w: bounds hold by construction
+    r = np.asarray(atk._pert(jnp.asarray(
+        rng.randn(4, 32, 32, 3).astype(np.float32) * 3), lb, ub))
+    assert np.abs(r).max() <= EPS + 1e-6
+    assert ((np.asarray(x) + r) >= -1e-6).all()
+    assert ((np.asarray(x) + r) <= 1 + 1e-6).all()
+
+
 def test_ata_vit_patch_attack(toy_batch):
     """ATA-ViT optimizes an unbounded patch inside an entropy-budgeted
     saliency mask (≈2% of pixels); delta is NOT ε-bounded but must stay

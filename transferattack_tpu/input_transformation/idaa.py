@@ -1,14 +1,18 @@
 """IDAA / EverywhereAttack (reference:
 ``transferattack/input_transformation/{idaa,everywhere}.py``, both targeted).
 
-IDAA: num_scale transformed copies through a random augmentation pipeline
-(flip/rotation/affine/erasing — a JAX-native subset of the reference's
-kornia stack) with local mixup (random boxes swapped between copies), and
-Adam-style (β1, β2) moment updates on the raw gradient.
+IDAA (``idaa.py:21-204``): the perturbation is *tanh-parameterized* — an
+unbounded ``w`` is squashed into the per-pixel box
+``[-min(x, eps), min(1-x, eps)]`` so both the eps ball and the [0,1] image
+bounds hold by construction — and optimized by Adam *descent* (no sign, no
+bias correction) on ``CE(target) − γ·CE(source)``.  Each iteration the
+shared ``w`` is replicated into num_scale+1 copies; every flattened copy
+index gets ONE augmentation from a fixed op list (``op[k % len]`` cycling,
+``idaa.py:190-195``), then local mixup swaps random boxes across the whole
+flattened batch; per-copy gradients are L1-mean-normalized *before* the
+copy average (``idaa.py:198-202``).
 
-Everywhere: splits the image into a block grid; each iteration maximizes the
-target logit on several randomly-chosen region crops so the target class is
-planted 'everywhere' (``everywhere.py:14-412``).
+Everywhere (``everywhere.py:284-409``): see :class:`EverywhereAttack`.
 """
 from __future__ import annotations
 
@@ -20,62 +24,96 @@ from ..ops import rotate_shear, translate_sep
 from ..utils import img_max, img_min
 
 
-def _random_augment(x, key, aug_p=1.0):
-    B = x.shape[0]
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    # horizontal flip
-    do_h = jax.random.bernoulli(k1, aug_p * 0.5)
-    x = jnp.where(do_h, x[:, :, ::-1, :], x)
-    # rotation ±15° — gather-free three-shear (see ops/image.py): the 2-D
-    # warp's scatter-add backward was both the cost (~1 s/step, L2T probe)
-    # and the trigger for the v5e bf16 runtime fault worked around below
-    ang = jax.random.uniform(k2, (B,), minval=-15.0, maxval=15.0) * jnp.pi / 180
-    x = rotate_shear(x, ang, max_angle=15.0 * jnp.pi / 180)
-    # translation ±10% — exactly-separable gather-free form
-    tx = jax.random.uniform(k3, (B,), minval=-0.1, maxval=0.1)
-    ty = jax.random.uniform(k4, (B,), minval=-0.1, maxval=0.1)
-    x = translate_sep(x, tx, ty, max_shift=12)
-    # random erasing (fill 1, small box)
-    H, W = x.shape[1], x.shape[2]
-    eh = max(int(H * 0.15), 1)
-    ew = max(int(W * 0.15), 1)
-    top = jax.random.randint(k5, (), 0, H - eh)
-    left = jax.random.randint(k6, (), 0, W - ew)
-    rows = jnp.arange(H)[:, None]
-    cols = jnp.arange(W)[None, :]
-    box = ((rows >= top) & (rows < top + eh) & (cols >= left) & (cols < left + ew))
-    return jnp.where(box[None, :, :, None], 1.0, x)
+def _op_cycle(flat, key, aug_p=1.0):
+    """Assign each flattened image ``op[k % n_ops]`` (the reference's
+    deterministic cycling over its kornia list, ``idaa.py:190-195``).
+
+    Op list is a documented gather-free subset of the reference's ten
+    kornia ops (``idaa.py:79-90``): hflip, rotation ±15°, vflip p=0.6,
+    center resize [0.9, 1], small-angle affine (rotate −1..5° + translate
+    ±0.2), and per-image erasing (value 1, area 1–4%, ratio 0.3–1) stand
+    in; perspective / thin-plate-spline / elastic / fisheye need general
+    2-D warps whose scatter-add (and, since round 3, even gather) backward
+    faults the v5e worker at this batch scale — see BASELINE.md.  Every op
+    is computed on the full batch and selected by index mask (a vmapped
+    ``switch`` would execute every branch on TPU anyway)."""
+    N, H, W, _ = flat.shape
+    ks = jax.random.split(key, 9)
+    outs = [flat[:, :, ::-1, :]]  # hflip (p=aug_p → gated below)
+    ang = jax.random.uniform(ks[0], (N,), minval=-15.0, maxval=15.0)
+    outs.append(rotate_shear(flat, ang * jnp.pi / 180,
+                             max_angle=15.5 * jnp.pi / 180))
+    do_v = jax.random.bernoulli(ks[1], 0.6, (N, 1, 1, 1))
+    outs.append(jnp.where(do_v, flat[:, ::-1, :, :], flat))
+    s = jax.random.uniform(ks[2], (), minval=0.9, maxval=1.0)
+    outs.append(jax.image.scale_and_translate(
+        flat, flat.shape, (1, 2), jnp.stack([s, s]),
+        jnp.stack([H * (1 - s) / 2, W * (1 - s) / 2]), method="linear"))
+    ang2 = jax.random.uniform(ks[3], (N,), minval=-1.0, maxval=5.0)
+    aff = rotate_shear(flat, ang2 * jnp.pi / 180,
+                       max_angle=5.5 * jnp.pi / 180)
+    tx = jax.random.uniform(ks[4], (N,), minval=-0.2, maxval=0.2)
+    ty = jax.random.uniform(ks[5], (N,), minval=-0.2, maxval=0.2)
+    outs.append(translate_sep(aff, tx, ty, max_shift=int(0.1 * W) + 2))
+    area = jax.random.uniform(ks[6], (N, 1, 1),
+                              minval=0.01, maxval=0.04) * H * W
+    ratio = jax.random.uniform(ks[7], (N, 1, 1), minval=0.3, maxval=1.0)
+    eh, ew = jnp.sqrt(area * ratio), jnp.sqrt(area / ratio)
+    u = jax.random.uniform(ks[8], (2, N, 1, 1))
+    top, left = u[0] * (H - eh), u[1] * (W - ew)
+    rows = jnp.arange(H, dtype=flat.dtype)[None, :, None]
+    cols = jnp.arange(W, dtype=flat.dtype)[None, None, :]
+    box = ((rows >= top) & (rows < top + eh)
+           & (cols >= left) & (cols < left + ew))
+    outs.append(jnp.where(box[..., None], 1.0, flat))
+
+    idx = jnp.arange(N) % len(outs)
+    out = flat
+    for i, o in enumerate(outs):
+        out = jnp.where((idx == i)[:, None, None, None], o, out)
+    if aug_p < 1.0:
+        gate = jax.random.bernoulli(
+            jax.random.fold_in(key, 77), aug_p, (N, 1, 1, 1))
+        out = jnp.where(gate, out, flat)
+    return out
 
 
-def _local_mixup(copies, key, alpha=0.4, num=3):
-    """Swap random boxes between consecutive copies (local mixup)."""
-    n, B, H, W, C = copies.shape
-    out = copies
+def _local_mix(flat, key, alpha=0.4, num=3, crop_size=0.7):
+    """Local mixup over the flattened copies·batch axis
+    (``idaa.py:110-123``): ``num`` rounds; each round permutes the batch
+    and blends, per image, a random ``crop_size``-scaled center-clipped box
+    with weight ``lam = max(Beta(α,α), 1−Beta)``.  Adaptations (documented):
+    the box content comes from the *same* location in the partner (the
+    reference samples an equal-size source box elsewhere) and rounds update
+    batch-synchronously rather than image-sequentially within a round."""
+    N, H, W, _ = flat.shape
+    cut_h, cut_w = int(H * crop_size) // 2, int(W * crop_size) // 2
+    rows = jnp.arange(H)[None, :, None]
+    cols = jnp.arange(W)[None, None, :]
+    out = flat
     for i in range(num):
         k1, k2, k3 = jax.random.split(jax.random.fold_in(key, i), 3)
-        lam = jax.random.beta(k1, alpha, alpha)
-        cut = jnp.sqrt(1.0 - lam)
-        ch = jnp.maximum((cut * H).astype(jnp.int32), 1)
-        cw = jnp.maximum((cut * W).astype(jnp.int32), 1)
-        top = jax.random.randint(k2, (), 0, H)
-        left = jax.random.randint(k3, (), 0, W)
-        rows = jnp.arange(H)[:, None]
-        cols = jnp.arange(W)[None, :]
-        box = ((rows >= top) & (rows < top + ch)
-               & (cols >= left) & (cols < left + cw))
-        partner = jnp.roll(out, 1, axis=0)
-        out = jnp.where(box[None, None, :, :, None], partner, out)
+        lam = jax.random.beta(k1, alpha, alpha, (N, 1, 1, 1))
+        lam = jnp.maximum(lam, 1.0 - lam)
+        perm = jax.random.permutation(k3, N)
+        c = jax.random.randint(k2, (2, N, 1, 1), 0,
+                               jnp.array([H, W]).reshape(2, 1, 1, 1))
+        box = ((rows >= c[0] - cut_h) & (rows < c[0] + cut_h)
+               & (cols >= c[1] - cut_w) & (cols < c[1] + cut_w))
+        mixed = lam * out + (1.0 - lam) * out[perm]
+        out = jnp.where(box[..., None], mixed, out)
     return out
 
 
 class IDAA(Attack):
-    """Official args (``idaa.py:57``): num_scale=10, mixup_num=3,
-    mixup_alpha=0.4, crop_size=0.7, β1=0.99, β2=0.999; targeted."""
+    """Official args (``idaa.py:65``): alpha=1 (w-space Adam step),
+    num_scale=10, gamma=0.1, mixup_num=3, mixup_alpha=0.4, crop_size=0.7,
+    β1=0.99, β2=0.999; targeted; delta init ~ N(0,1) in w space."""
 
-    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
+    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.0,
                  decay=1.0, num_scale=10, gamma=0.1, mixup_num=3, mixup_alpha=0.4,
-                 aug_p=1.0, targeted=True, random_start=False, norm="linfty",
-                 loss="crossentropy", attack="IDAA", **kwargs):
+                 crop_size=0.7, aug_p=1.0, targeted=True, random_start=False,
+                 norm="linfty", loss="crossentropy", attack="IDAA", **kwargs):
         super().__init__(model_name, epoch=epoch, eps=eps, alpha=alpha, decay=decay,
                          targeted=targeted, random_start=random_start, norm=norm,
                          loss=loss, attack=attack, **kwargs)
@@ -90,39 +128,78 @@ class IDAA(Attack):
         self.gamma = float(gamma)
         self.mixup_num = int(mixup_num)
         self.mixup_alpha = float(mixup_alpha)
+        self.crop_size = float(crop_size)
         self.aug_p = float(aug_p)
         self.beta1, self.beta2 = 0.99, 0.999
+
+    def prepare_labels(self, label):
+        # keep the (source, target) pair: the targeted loss consumes BOTH
+        # columns (CE(tgt) − γ·CE(src), ``idaa.py:125-131``)
+        return jnp.asarray(label)
+
+    def init_delta(self, x, key):
+        # delta slot holds the unbounded tanh parameter w, init ~ N(0, 1)
+        # (``init_delta_and_normal_distribute``, ``idaa.py:148-151``)
+        return jax.random.normal(key, x.shape, x.dtype)
 
     def init_extra(self, x, y):
         return {"m": jnp.zeros_like(x), "v": jnp.zeros_like(x)}
 
     def num_copies(self):
-        return self.num_scale
+        return self.num_scale + 1
 
-    def transform(self, x, state: AttackState, key):
-        keys = jax.random.split(key, self.num_scale)
-        # vmap, not a Python loop: an unrolled loop repeats the two
-        # grid_sample warps (8 gathers each) per copy in the HLO and blew
-        # the TPU compile past 10 minutes at batch 32
-        copies = jax.vmap(lambda k: _random_augment(x, k, self.aug_p))(keys)
-        kmix = jax.random.fold_in(key, 999)
-        return _local_mixup(copies, kmix, self.mixup_alpha, self.mixup_num)
+    def _bounds(self, x):
+        # forward unpacks get_bound's (lower, upper) as ``ub, lb = ...``
+        # (``idaa.py:176``), inverting the tanh orientation; reproduced
+        # exactly — the span is still the full valid box
+        ub = -jnp.minimum(x, self.eps)
+        lb = jnp.minimum(img_max - x, self.eps)
+        return lb, ub
+
+    def _pert(self, w, lb, ub):
+        return lb + (ub - lb) * (jnp.tanh(w) / 2 + 0.5)
 
     def step(self, variables, x, y, state: AttackState):
         key, sub = jax.random.split(state.key)
-        grad, _ = self.get_grad(variables, x, y, state, sub)
-        t = (state.step + 1).astype(x.dtype)
+        tkey, mkey = jax.random.split(sub)
+        n = self.num_scale + 1
+        B = x.shape[0]
+        lb, ub = self._bounds(x)
+        if self.targeted:
+            y_src, y_tgt = y[:, 0], y[:, 1]
+        else:
+            y_src = y_tgt = y
+
+        def loss_fn(ws):  # (n, B, H, W, C) — replicated w, per-copy grads
+            r = self._pert(ws, lb, ub)
+            flat = (x[None] + r).reshape((n * B,) + x.shape[1:])
+            flat = _op_cycle(flat, tkey, self.aug_p)
+            flat = _local_mix(flat, mkey, self.mixup_alpha, self.mixup_num,
+                              self.crop_size)
+            logits = self.get_logits(
+                variables, flat.reshape((n, B) + x.shape[1:]))
+            lf = logits.reshape((n * B, -1))
+            ce_t = softmax_cross_entropy(lf, jnp.tile(y_tgt, n)).mean()
+            if self.targeted:
+                ce_s = softmax_cross_entropy(lf, jnp.tile(y_src, n)).mean()
+                return ce_t - self.gamma * ce_s
+            return ce_t
+
+        ws = jnp.broadcast_to(state.delta, (n,) + state.delta.shape)
+        g = jax.grad(loss_fn)(ws)
+        # per-(copy, image) L1-mean normalization BEFORE the copy average
+        gn = jnp.mean(jnp.abs(g), axis=(2, 3, 4), keepdims=True)
+        grad = (g / (gn + 1e-8)).mean(0)
         m = self.beta1 * state.extra["m"] + (1 - self.beta1) * grad
         v = self.beta2 * state.extra["v"] + (1 - self.beta2) * grad * grad
-        mh = m / (1 - self.beta1**t)
-        vh = v / (1 - self.beta2**t)
-        direction = mh / (jnp.sqrt(vh) + 1e-8)
-        delta = jnp.clip(
-            state.delta + self.alpha * jnp.sign(direction), -self.eps, self.eps
-        )
-        delta = jnp.clip(x + delta, img_min, img_max) - x
-        return state.replace(delta=delta, key=key, step=state.step + 1,
+        # descent, no sign, no bias correction (``update_delta``, idaa.py:141)
+        w = state.delta - self.alpha * m / (jnp.sqrt(v) + 1e-8)
+        return state.replace(delta=w, key=key, step=state.step + 1,
                              extra={"m": m, "v": v})
+
+    def finalize(self, state: AttackState, x, y):
+        lb, ub = self._bounds(x)
+        return self._pert(state.delta, lb, ub)
 
 
 class EverywhereAttack(Attack):
