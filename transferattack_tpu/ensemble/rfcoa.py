@@ -124,10 +124,22 @@ class RFCoA(_MultiModelAttack):
         self._feat_root = root
 
     def _robust_feature(self, idx, z_shape):
+        """Per-class robust feature.  The reference ships these in-repo
+        (``ensemble/rfcoa/{24..919}.npz``, key ``array``, (1,512,7,7) NCHW);
+        we vendor them bit-for-bit at ``assets/rfcoa/<cls>.npz``
+        (``scripts/convert_ref_assets.py``) and transpose to NHWC here."""
         cls = generation_target_classes[idx]
+        asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "rfcoa", f"{cls}.npz")
+        if os.path.exists(asset):
+            arr = np.load(asset)["array"]  # (1, 512, 7, 7) NCHW float32
+            return jnp.asarray(arr.transpose(0, 2, 3, 1))
         path = os.path.join(self._feat_root, f"rfcoa_{cls}.npz")
         if os.path.exists(path):
-            return jnp.asarray(np.load(path)["array"])
+            arr = np.load(path)["array"]
+            if arr.ndim == 4 and arr.shape[1] == z_shape[-1]:
+                arr = arr.transpose(0, 2, 3, 1)
+            return jnp.asarray(arr)
         record_fallback(path)
         warnings.warn(f"RFCoA: {path} missing; using random robust feature.")
         return jax.random.normal(jax.random.PRNGKey(cls), z_shape)
@@ -146,6 +158,12 @@ class RFCoA(_MultiModelAttack):
 
         org = self.encoder.apply(self.enc_vars, x)
         feature = self._robust_feature(idx, org.shape)
+        if feature.shape[1:3] != org.shape[1:3]:
+            # only off the official 224 path (latent 7x7); tiny-test inputs
+            feature = jax.image.resize(
+                feature, (feature.shape[0],) + org.shape[1:3] + (feature.shape[3],),
+                method="bilinear",
+            )
         feature = jnp.broadcast_to(feature, org.shape)
         mvars = self.member_variables(self.model.variables)
 

@@ -53,14 +53,20 @@ class AIM(GenerativeAttack):
         super().__init__(*args, **kwargs)
 
     def _guide(self, idx, x_shape):
+        """Per-class guide image.  The reference ships these in-repo
+        (``generation/aim_related/{24..919}.JPEG``, decoded + PIL-resized at
+        attack time, ``aim.py:265-268``); vendored byte-for-byte at
+        ``assets/aim/<cls>.JPEG`` (``scripts/convert_ref_assets.py``)."""
         cls = generation_target_classes[idx]
+        asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "aim", f"{cls}.JPEG")
         root = os.environ.get("TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights"))
-        path = os.path.join(root, f"aim_guide_{cls}.png")
-        if os.path.exists(path):
-            from PIL import Image
+        for path in (asset, os.path.join(root, f"aim_guide_{cls}.png")):
+            if os.path.exists(path):
+                from PIL import Image
 
-            img = Image.open(path).convert("RGB").resize((x_shape[2], x_shape[1]))
-            return jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+                img = Image.open(path).convert("RGB").resize((x_shape[2], x_shape[1]))
+                return jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
         record_fallback("aim_guides")
         warnings.warn(f"AIM: guide image {path} missing; flat guide used.")
         return jnp.full((1,) + x_shape[1:], 0.5, jnp.float32)
