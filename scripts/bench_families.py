@@ -52,17 +52,20 @@ def main():
                 model_name=model, compute_dtype="bfloat16", **kwargs)
             run = jax.jit(atk.run)
             v = atk.model.variables
+            # targeted attacks consume (source, target) label pairs
+            yk = jnp.stack([y, (y + 7) % 1000], 1) if atk.targeted else y
+            yk = atk.prepare_labels(yk)
             t0 = time.perf_counter()
-            _ = float(run(v, x, y, jax.random.PRNGKey(9)).sum())
+            _ = float(run(v, x, yk, jax.random.PRNGKey(9)).sum())
             compile_s = time.perf_counter() - t0
             # calibrate reps for >=10s of device work so the ~1s tunnel
             # round-trip cannot dominate the measurement
             t0 = time.perf_counter()
-            _ = float(run(v, x, y, jax.random.PRNGKey(10)).sum())
+            _ = float(run(v, x, yk, jax.random.PRNGKey(10)).sum())
             est = time.perf_counter() - t0
             reps = max(args.reps, int(10.0 / max(est, 1e-3)) + 1)
             t0 = time.perf_counter()
-            outs = [run(v, x, y, jax.random.PRNGKey(i)).sum()
+            outs = [run(v, x, yk, jax.random.PRNGKey(i)).sum()
                     for i in range(reps)]
             _ = float(jnp.stack(outs).sum())
             dt = time.perf_counter() - t0

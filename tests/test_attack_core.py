@@ -189,3 +189,18 @@ def test_ragged_batch_batch_coupled_mixer(toy_batch):
     assert d.shape == (3,) + x.shape[1:]
     assert np.all(np.abs(d) <= 16 / 255 + 1e-5)
     assert np.any(d != 0)
+
+
+def test_get_logits_chunk_remainder(toy_batch):
+    """get_logits chunking must stay active when the copies axis is not a
+    multiple of logits_chunk (IDAA's default n = num_scale+1 = 11): full
+    groups run under lax.map, the remainder as one extra pass, and the
+    result must equal the unchunked forward exactly."""
+    x, y = toy_batch
+    atk = ta.load_attack_class("mifgsm")(model_name="toy_cnn")
+    xs = jnp.stack([jnp.asarray(x) * s for s in (1.0, 0.9, 0.8, 0.7, 0.6)])
+    ref = np.asarray(atk.get_logits(atk.model.variables, xs))
+    atk.logits_chunk = 2  # 5 copies -> 2 groups of 2 + remainder of 1
+    chunked = np.asarray(atk.get_logits(atk.model.variables, xs))
+    assert chunked.shape == ref.shape
+    np.testing.assert_allclose(chunked, ref, atol=1e-5)

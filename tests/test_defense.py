@@ -134,3 +134,99 @@ def test_rs_certify_radius():
             assert r == 0.0
         else:
             assert 0 <= p < 10 and r >= 0.0
+
+
+def test_diffpure_sde_matches_numpy_twin():
+    """The SDE sampler's Euler–Maruyama step must match a straight-line
+    numpy transcription of the reference RevVPSDE equations
+    (``runners/diffpure_sde.py:88-148, 226-239``: drift
+    −[−½βx − β·score](1−τ), diffusion √β(1−τ), score = −ε/√(1−ᾱ_cont)),
+    with a mock ε-model and the identical PRNG chain."""
+    import jax.numpy as jnp
+
+    from transferattack_tpu.defense.diffpure import DiffPure, _TINY_UNET
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dp = DiffPure(t_star=4, image_size=16, unet_config=_TINY_UNET,
+                      diffusion_type="sde")
+
+    # mock ε-model: deterministic function of (x, t); learn_sigma channels
+    class MockUNet:
+        @staticmethod
+        def apply(_vars, x, tt):
+            eps = 0.1 * x * (1.0 + tt.reshape(-1, 1, 1, 1) / 1000.0)
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    dp.unet = MockUNet()
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    key = jax.random.PRNGKey(42)
+    got = np.asarray(dp.purify_sde(x, key))
+
+    # numpy twin: replicate the PRNG chain, then straight-line reference math
+    T, b0, b1 = dp.T, dp.BETA_MIN, dp.BETA_MAX
+    betas = np.linspace(b0 / T, b1 / T, T)
+    acum = np.cumprod(1.0 - betas)
+    x2 = np.asarray(x) * 2.0 - 1.0
+    key2, sub = jax.random.split(key)
+    noise = np.asarray(jax.random.normal(sub, x2.shape, jnp.float32))
+    xt = np.sqrt(acum[dp.t_star - 1]) * x2 + np.sqrt(1 - acum[dp.t_star - 1]) * noise
+    t0, t1 = 1.0 - dp.t_star / T, 1.0 - 1e-5
+    n = int(np.ceil((t1 - t0) / 1e-3))
+    dt = (t1 - t0) / n
+    for i in range(n):
+        key2, sub = jax.random.split(key2)
+        z = np.asarray(jax.random.normal(sub, xt.shape, jnp.float32))
+        s = 1.0 - (t0 + i * dt)
+        beta_s = b0 + s * (b1 - b0)
+        acum_cont = np.exp(-0.5 * (b1 - b0) * s * s - b0 * s)
+        tt = np.full((xt.shape[0],), np.floor(s * T), np.float32)
+        eps = 0.1 * xt * (1.0 + tt.reshape(-1, 1, 1, 1) / 1000.0)
+        score = -eps / np.sqrt(1.0 - acum_cont)
+        drift = -0.5 * beta_s * xt - beta_s * score
+        xt = xt + (-drift) * dt + np.sqrt(beta_s) * np.sqrt(dt) * z
+    want = np.clip((xt + 1.0) / 2.0, 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_diffpure_sde_and_ddpm_agree_qualitatively():
+    """Both samplers on the same tiny UNet at small t* must return bounded
+    purifications that stay close to the input (purification, not
+    destruction) and to each other."""
+    import jax.numpy as jnp
+
+    from transferattack_tpu.defense.diffpure import DiffPure, _TINY_UNET
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sde = DiffPure(t_star=5, image_size=32, unet_config=_TINY_UNET,
+                       diffusion_type="sde")
+        ddpm = DiffPure(t_star=5, image_size=32, unet_config=_TINY_UNET,
+                        diffusion_type="ddpm")
+        ddpm.unet_vars = sde.unet_vars  # identical weights
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(sde.purify(x, key))
+    b = np.asarray(ddpm.purify(x, key))
+    for out in (a, b):
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert np.abs(out - np.asarray(x)).mean() < 0.25
+    assert np.abs(a - b).mean() < 0.25
+
+
+def test_diffpure_runs_tiny_ddpm(fake_attack_dir):
+    input_dir, out_dir = fake_attack_dir
+    from transferattack_tpu.defense.diffpure import run_diffpure
+    from transferattack_tpu.defense.scoring import asr_from_labels
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        csv_dp = run_diffpure(input_dir, out_dir, batchsize=6, t_star=5,
+                              model_name="toy_cnn", out_csv="dp_ddpm.csv",
+                              diffusion_type="ddpm")
+    asr = asr_from_labels(os.path.join(input_dir, "labels.csv"), csv_dp)
+    assert 0.0 <= asr <= 100.0

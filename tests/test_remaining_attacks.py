@@ -15,7 +15,8 @@ RN = dict(model_name="resnet18", pretrained=False, input_size=32, epoch=3)
 
 CASES = [
     ("su", dict(model_name="toy_cnn", feature_layer="stage2", epoch=3), True),
-    ("idaa", dict(model_name="toy_cnn", num_scale=3, epoch=3), True),
+    # num_scale=4 -> n=5 copies: odd, exercises the logits_chunk remainder
+    ("idaa", dict(model_name="toy_cnn", num_scale=4, epoch=3), True),
     ("everywhere", dict(model_name="toy_cnn", epoch=3,
                         layers=("stage1", "stage2"), di_margin=8), True),
     ("l2t", dict(model_name="toy_cnn", epoch=3, num_scale=2), False),

@@ -245,8 +245,9 @@ class Attack:
         bfloat16 (observed for IDAA's warp stack at n·B = 320 on v5e)."""
         n, b = xs.shape[0], xs.shape[1]
         chunk = getattr(self, "logits_chunk", None)
-        if chunk and n > chunk and n % chunk == 0:
-            groups = xs.reshape((n // chunk, chunk) + xs.shape[1:])
+        if chunk and n > chunk:
+            nfull = (n // chunk) * chunk
+            groups = xs[:nfull].reshape((n // chunk, chunk) + xs.shape[1:])
             gi = jnp.arange(n // chunk)
             if rngs is not None:
                 # fold the group index into the keys so rng-consuming
@@ -262,7 +263,14 @@ class Attack:
             else:
                 logits = jax.lax.map(
                     lambda g: self._logits_flat(variables, g, None), groups)
-            return logits.reshape((n, b) + logits.shape[3:])
+            logits = logits.reshape((nfull, b) + logits.shape[3:])
+            if nfull < n:
+                # remainder group (n % chunk copies) runs as one extra pass
+                rrngs = None if rngs is None else jax.tree.map(
+                    lambda k: jax.random.fold_in(k, n // chunk), rngs)
+                rest = self._logits_flat(variables, xs[nfull:], rrngs)
+                logits = jnp.concatenate([logits, rest], axis=0)
+            return logits
         return self._logits_flat(variables, xs, rngs)
 
     def _logits_flat(self, variables, xs: Array, rngs=None) -> Array:

@@ -6,10 +6,23 @@ LoC).
 forward process, reverse-denoise with the guided-diffusion 256² UNet
 (``gd_unet.GuidedDiffusionUNet`` — the faithful port whose parameter tree
 matches the official ``256x256_diffusion_uncond.pt`` checkpoint), downsample
-back, then classify (``diffpure.py:70-95``).  The reverse step is the
-guided-diffusion ``p_sample`` with learned-range variance and clipped x₀
-(learn_sigma → 6 output channels).  The NCSN++ CUDA kernels are the
-``ops/upfirdn.py`` XLA equivalents.
+back, then classify (``diffpure.py:70-95``).
+
+Two reverse samplers, selected by ``diffusion_type`` exactly as the
+reference driver does (``diffpure.py:45-49``):
+
+* ``'sde'`` — the sampler the shipped defense driver actually invokes
+  (``defense/diffpure_defense.sh:11-13`` passes ``--diffusion_type sde``):
+  ``RevVPSDE`` (``runners/diffpure_sde.py:51-148``), the reverse VP-SDE
+  integrated by Euler–Maruyama from τ₀ = 1 − t*/1000 to τ₁ = 1 − 1e-5 with
+  torchsde's default fixed step dt = 1e-3 (``sdeint_adjoint(...,
+  method='euler')``, ``diffpure_sde.py:236-238``), the guided UNet's ε
+  output converted to a score via the continuous ᾱ(t).
+* ``'ddpm'`` — the guided-DDPM posterior (``runners/diffpure_guided.py``):
+  ``p_sample`` with learned-range variance and clipped x₀ (learn_sigma →
+  6 output channels).
+
+The NCSN++ CUDA kernels are the ``ops/upfirdn.py`` XLA equivalents.
 """
 from __future__ import annotations
 
@@ -31,12 +44,22 @@ _TINY_UNET = dict(image_size=32, model_channels=32, num_res_blocks=1,
 
 
 class DiffPure:
-    """DDPM purification: diffuse to ``t_star`` then reverse-denoise with the
-    guided-diffusion posterior (``runners/diffpure_guided.py:42-90``,
-    ``--t 150`` per ``defense/diffpure_defense.sh:12``); T=1000 linear betas."""
+    """Diffusion purification: diffuse to ``t_star`` (``--t 150`` per
+    ``defense/diffpure_defense.sh:12``) then reverse with the sampler chosen
+    by ``diffusion_type`` — ``'sde'`` (RevVPSDE Euler–Maruyama, the runner
+    the reference driver invokes) or ``'ddpm'`` (guided posterior);
+    T=1000 linear betas (= discrete βₖ of the continuous VP-SDE with
+    β_min=0.1, β_max=20, ``diffpure_sde.py:67-71``)."""
+
+    # continuous VP-SDE endpoints (RevVPSDE defaults, diffpure_sde.py:52)
+    BETA_MIN, BETA_MAX = 0.1, 20.0
 
     def __init__(self, t_star: int = 150, T: int = 1000, image_size: int = 256,
-                 ckpt: str = "diffpure_unet", unet_config: dict = None):
+                 ckpt: str = "diffpure_unet", unet_config: dict = None,
+                 diffusion_type: str = "sde"):
+        if diffusion_type not in ("sde", "ddpm"):
+            raise ValueError(f"unknown diffusion_type {diffusion_type!r}")
+        self.diffusion_type = diffusion_type
         self.t_star = int(t_star)
         self.T = int(T)
         self.image_size = int(image_size)
@@ -100,7 +123,53 @@ class DiffPure:
         nonzero = jnp.where(t > 0, 1.0, 0.0)
         return mean + nonzero * jnp.exp(0.5 * log_var) * z
 
-    def purify(self, x, key):
+    def _sde_drift_diffusion(self, x, s):
+        """Reverse VP-SDE drift/diffusion at continuous time ``s`` ∈ (0, 1)
+        (``RevVPSDE.rvpsde_fn``, ``diffpure_sde.py:94-129``): the guided
+        UNet's ε output becomes a score via the continuous
+        ᾱ(s) = exp(−½(β₁−β₀)s² − β₀s)."""
+        beta_s = self.BETA_MIN + s * (self.BETA_MAX - self.BETA_MIN)
+        acum_cont = jnp.exp(
+            -0.5 * (self.BETA_MAX - self.BETA_MIN) * s * s - self.BETA_MIN * s)
+        # _scale_timesteps: (s * N).long() (diffpure_sde.py:84-86)
+        tt = jnp.full((x.shape[0],), jnp.floor(s * self.T), jnp.float32)
+        out = self.unet.apply(self.unet_vars, x, tt)
+        eps, _ = jnp.split(out, 2, axis=-1)
+        score = -eps / jnp.sqrt(1.0 - acum_cont)
+        drift = -0.5 * beta_s * x - beta_s * score
+        return drift, jnp.sqrt(beta_s)
+
+    def purify_sde(self, x, key):
+        """Euler–Maruyama integration of the reverse VP-SDE
+        (``image_editing_sample``, ``diffpure_sde.py:199-239``): diffuse to
+        t* with the discrete ᾱ, then integrate x' = −f(1−τ) dτ + g(1−τ) dW
+        from τ₀ = 1 − t*/T to τ₁ = 1 − 1e-5 in fixed steps dt = 1e-3
+        (torchsde euler default)."""
+        x2 = x * 2.0 - 1.0
+        a_star = self.alphas_cum[self.t_star - 1]
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x2.shape, x2.dtype)
+        xt = jnp.sqrt(a_star) * x2 + jnp.sqrt(1 - a_star) * noise
+
+        t0 = 1.0 - self.t_star / self.T
+        t1 = 1.0 - 1e-5
+        n_steps = max(int(np.ceil((t1 - t0) / 1e-3)), 1)
+        dt = (t1 - t0) / n_steps  # uniform grid hitting t1 exactly
+
+        def body(carry, i):
+            xt, key = carry
+            key, sub = jax.random.split(key)
+            tau = t0 + i * dt
+            drift, diff = self._sde_drift_diffusion(xt, 1.0 - tau)
+            z = jax.random.normal(sub, xt.shape, xt.dtype)
+            xt = xt + (-drift) * dt + diff * jnp.sqrt(dt) * z
+            return (xt, key), None
+
+        (x0, _), _ = jax.lax.scan(
+            body, (xt, key), jnp.arange(n_steps, dtype=jnp.float32))
+        return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)
+
+    def purify_ddpm(self, x, key):
         """x in [0,1] → diffused to t*, reverse-denoised, back to [0,1]."""
         x2 = x * 2.0 - 1.0
         a_star = self.alphas_cum[self.t_star - 1]
@@ -118,6 +187,11 @@ class DiffPure:
         )
         return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)
 
+    def purify(self, x, key):
+        if self.diffusion_type == "sde":
+            return self.purify_sde(x, key)
+        return self.purify_ddpm(x, key)
+
     def __call__(self, x, key):
         if self._jitted is None:
             self._jitted = jax.jit(self.purify)
@@ -125,15 +199,17 @@ class DiffPure:
 
 
 def run_diffpure(input_dir: str, output_dir: str, batchsize: int = 4,
-                 t_star: int = 150, model_name: str = "resnet50",
+                 t_star: int = 150, model_name: str = "resnet101",
                  out_csv: str = "diffpure_predictions.csv", seed: int = 0,
-                 purify_size: int = None) -> str:
+                 purify_size: int = None, diffusion_type: str = "sde") -> str:
     """Purify → classify → prediction CSV.  Mirrors ``diffpure.py:76-86``:
     bilinear upsample to 256², purify at the diffusion model's native
-    resolution, bilinear downsample back, classify in [0, 1] space."""
+    resolution, bilinear downsample back, classify in [0, 1] space.
+    Defaults follow the shipped driver (``diffpure_defense.sh:11-13``):
+    ``--diffusion_type sde --classifier_name resnet101 --t 150``."""
     from ..utils.data import AdvDataset
 
-    dp = DiffPure(t_star=t_star)
+    dp = DiffPure(t_star=t_star, diffusion_type=diffusion_type)
     surrogate = make_model(model_name)
     classify = jax.jit(
         lambda v, x: surrogate.apply(v, x).argmax(-1)

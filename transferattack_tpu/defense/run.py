@@ -29,7 +29,10 @@ def main():
     p.add_argument("--sigma", default=0.5, type=float)
     p.add_argument("--N", default=1000, type=int)
     p.add_argument("--dynamic", action="store_true")
-    p.add_argument("--t_star", default=100, type=int)
+    # diffpure defaults per the shipped driver (diffpure_defense.sh:11-13)
+    p.add_argument("--t_star", default=150, type=int)
+    p.add_argument("--diffusion_type", default="sde", choices=["sde", "ddpm"])
+    p.add_argument("--classifier_name", default="resnet101")
     args = p.parse_args()
 
     label_file = os.path.join(args.input_dir, "labels.csv")
@@ -52,7 +55,9 @@ def main():
         from .diffpure import run_diffpure
 
         csv_path = run_diffpure(args.input_dir, args.output_dir,
-                                args.batchsize, t_star=args.t_star)
+                                args.batchsize, t_star=args.t_star,
+                                model_name=args.classifier_name,
+                                diffusion_type=args.diffusion_type)
     else:  # nrp
         from .nrp import run_nrp
 

@@ -45,10 +45,14 @@ def _op_cycle(flat, key, aug_p=1.0):
                              max_angle=15.5 * jnp.pi / 180))
     do_v = jax.random.bernoulli(ks[1], 0.6, (N, 1, 1, 1))
     outs.append(jnp.where(do_v, flat[:, ::-1, :, :], flat))
-    s = jax.random.uniform(ks[2], (), minval=0.9, maxval=1.0)
-    outs.append(jax.image.scale_and_translate(
-        flat, flat.shape, (1, 2), jnp.stack([s, s]),
-        jnp.stack([H * (1 - s) / 2, W * (1 - s) / 2]), method="linear"))
+    # per-image scale (the reference's RandomResizedCrop-style op sees each
+    # image in its own batch of 1, so scales are independent)
+    s = jax.random.uniform(ks[2], (N,), minval=0.9, maxval=1.0)
+    outs.append(jax.vmap(
+        lambda img, si: jax.image.scale_and_translate(
+            img[None], (1, H, W, img.shape[-1]), (1, 2), jnp.stack([si, si]),
+            jnp.stack([H * (1 - si) / 2, W * (1 - si) / 2]),
+            method="linear")[0])(flat, s))
     ang2 = jax.random.uniform(ks[3], (N,), minval=-1.0, maxval=5.0)
     aff = rotate_shear(flat, ang2 * jnp.pi / 180,
                        max_angle=5.5 * jnp.pi / 180)
@@ -123,7 +127,9 @@ class IDAA(Attack):
         # crashed); the gather-free warps removed the fault, but the
         # measured A/B keeps the chunking for performance — the single
         # fused n·B=320 ResNet-50 backward spills (3.72 img/s vs 15.48
-        # chunked, round 3, BASELINE.md)
+        # chunked, round 3, BASELINE.md).  The default n = num_scale+1 = 11
+        # is odd; get_logits handles the remainder as one extra group
+        # (5x2 + 1), so chunking stays active off the even path too.
         self.logits_chunk = 2
         self.gamma = float(gamma)
         self.mixup_num = int(mixup_num)
@@ -215,8 +221,10 @@ class EverywhereAttack(Attack):
     (``everywhere.py:292-300``), mean-tensor fill (``:338``), clean features
     recorded once for the (9+1)·B combine batch with one iteration deducted
     (``consumed_iteration``, ``everywhere.py:341-363``), SelfShuffle mixup
-    indexing — one batch permutation shared by all region groups, each adv
-    group mixing with clean features of its *own* region kind
+    indexing — a fresh batch permutation per tapped layer (the reference
+    hook draws ``torch.randperm`` per hooked layer, ``everywhere.py:139``),
+    shared across region groups within a layer, each adv group mixing with
+    clean features of its *own* region kind
     (``everywhere.py:139-146``) — scalar per-layer mix prob 0.1, channelwise
     ratio U(0, 0.75), convex blending, DI margin 29 / p 0.7
     (``DI_keepresolution``), ``gkern(5, 3)`` TI, L1-sum momentum
@@ -319,7 +327,6 @@ class EverywhereAttack(Attack):
         ksel, kperm, kdi, kmix = jax.random.split(key, 4)
         masks = self._masks(H, W)
         sel = jax.random.permutation(ksel, 9)[: self.sample_num]
-        perm = jax.random.permutation(kperm, B)
         groups = jnp.concatenate(
             [jnp.zeros((1,), sel.dtype), sel + 1])  # clean-feature group ids
         mean = jnp.asarray(self._MEAN, x.dtype)
@@ -328,8 +335,13 @@ class EverywhereAttack(Attack):
         for i, layer in enumerate(self.layers):
             kl = jax.random.fold_in(kmix, i)
             clean = state.extra[f"clean_{layer}"]  # (10, B, h, w, c)
+            # fresh batch permutation per tapped layer — the reference hook
+            # draws torch.randperm per hooked layer per forward
+            # (everywhere.py:139); granularity adaptation: per block-tap
+            # layer here vs per hooked conv/linear there
+            perm_i = jax.random.permutation(jax.random.fold_in(kperm, i), B)
 
-            def tap(feat, clean=clean, kl=kl):
+            def tap(feat, clean=clean, kl=kl, perm=perm_i):
                 ka, kb = jax.random.split(kl)
                 fb = feat.reshape((n, B) + feat.shape[1:])
                 prev = clean[groups][:, perm].astype(fb.dtype)
