@@ -373,3 +373,247 @@ def test_transfer_sia(env):
         delta, momentum = _mi_step(xt, delta, grad, momentum)
     ours = _repo_delta(env, "sia", num_scale=n_scale)
     _check(env, _nhwc(delta), ours, STO_TOL, "sia")
+
+
+def test_transfer_fia(env):
+    """``advanced_objective/fia.py:64-114``: bernoulli pixel-drop weight
+    aggregation (stochastic), per-sample L2 norm, then plain sign descent
+    on the weighted feature loss (no momentum)."""
+    import transferattack_tpu as ta
+
+    n_ens, drop = 6, 0.3
+    torch.manual_seed(106)
+    t_sur = env["t_sur"]
+    xt, yt, delta, _ = _loop_setup(env)
+
+    captured = {}
+    fwd_h = t_sur.layer2.register_forward_hook(
+        lambda m, i, o: captured.__setitem__("feat", o))
+    agg = 0
+    for _ in range(n_ens):
+        mask = torch.bernoulli(torch.ones_like(xt) * (1 - drop))
+        xd = (xt * mask).requires_grad_(True)
+        probs = torch.softmax(_t_forward(t_sur, xd), 1)
+        loss = probs.gather(1, yt[:, None]).sum()
+        feat = captured["feat"]
+        agg = agg + torch.autograd.grad(loss, feat)[0]
+    agg = agg / agg.flatten(1).norm(dim=1).view(-1, 1, 1, 1)
+    agg = agg.detach()
+    for _ in range(EPOCH):
+        _t_forward(t_sur, xt + delta)
+        floss = (captured["feat"] * agg).sum()
+        grad = torch.autograd.grad(floss, delta)[0]
+        d = torch.clamp(delta.data + ALPHA * torch.sign(-grad), -EPS, EPS)
+        delta = (torch.clamp(xt + d, 0, 1) - xt).requires_grad_(True)
+    fwd_h.remove()
+
+    atk = ta.load_attack_class("fia")(
+        model_name="resnet18", pretrained=False, input_size=SIZE,
+        num_ens=n_ens, drop_rate=drop, feature_layer="layer2")
+    atk.model = env["surrogate"]
+    ours = np.asarray(atk(env["x"], env["y"]))
+    _check(env, _nhwc(delta), ours, STO_TOL, "fia")
+
+
+def test_transfer_sgm(env):
+    """``model_related/sgm.py:47-97``: γ^0.5-scaled ReLU backward hooks —
+    the SurgeryConfig custom-vjp trajectory must transfer identically."""
+    import transferattack_tpu as ta
+    from tests.test_surgery_parity import _register_sgm_hooks
+    from transferattack_tpu.models import make_model
+    from transferattack_tpu.models.resnet import SurgeryConfig
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    t_sur = env["t_sur"]
+    converted = torch_state_dict_to_flax(t_sur.state_dict())
+    surrogate = make_model("resnet18", pretrained=False, input_size=SIZE,
+                           surgery=SurgeryConfig(gamma=0.2))
+    variables, report = reconcile_with_module(converted, surrogate.variables)
+    assert not (report["missing"] or report["mismatched"])
+    surrogate.variables = variables
+
+    import copy
+
+    wrapped = tnn.Sequential(tnn.Identity(), copy.deepcopy(t_sur)).eval()
+    _register_sgm_hooks(wrapped, gamma=0.2)
+    xt, yt, delta, momentum = _loop_setup(env)
+    mean = torch.from_numpy(MEAN).view(1, 3, 1, 1)
+    std = torch.from_numpy(STD).view(1, 3, 1, 1)
+    for _ in range(EPOCH):
+        loss = F.cross_entropy(wrapped((xt + delta - mean) / std), yt)
+        grad = torch.autograd.grad(loss, delta)[0]
+        delta, momentum = _mi_step(xt, delta, grad, momentum)
+
+    import transferattack_tpu as ta
+
+    atk = ta.load_attack_class("sgm")(model_name="resnet18", pretrained=False,
+                                      input_size=SIZE, gamma=0.2)
+    atk.model = surrogate
+    ours = np.asarray(atk(env["x"], env["y"]))
+    _check(env, _nhwc(delta), ours, DET_TOL, "sgm")
+
+
+def _target_rank(env, delta, tgt):
+    """Mean normalized rank of the target class on the sibling panel."""
+    adv = np.clip(env["x"] + delta, 0, 1).astype(np.float32)
+    ranks = []
+    for h in env["holdouts"]:
+        with torch.no_grad():
+            out = _t_forward(h, torch.from_numpy(
+                np.transpose(adv, (0, 3, 1, 2)).copy())).numpy()
+        ranks.append(
+            (out > np.take_along_axis(out, tgt[:, None], 1)).sum(1) / 1000.0)
+    return float(np.mean(ranks))
+
+
+def test_transfer_logit_targeted(env):
+    """Targeted logit protocol (``advanced_objective/logit.py:31-89``,
+    T=300 abbreviated to 40): target-logit ascent + TI + raw momentum, DI
+    off for determinism.  Targeted sibling transfer is measured as the
+    target class's mean rank on the panel — both implementations must move
+    it by the same amount."""
+    import transferattack_tpu as ta
+    from transferattack_tpu.ops import gaussian_kernel
+
+    epoch = 40
+    rng = np.random.RandomState(107)
+    tgt = rng.randint(0, 1000, (B,)).astype(np.int32)
+    pairs = np.stack([env["y"], tgt], axis=1)
+    kern = torch.from_numpy(gaussian_kernel(5))[None, None].repeat(3, 1, 1, 1)
+    xt, _, delta, momentum = _loop_setup(env)
+    tt = torch.from_numpy(tgt).long()
+    for _ in range(epoch):
+        logits = _t_forward(env["t_sur"], xt + delta)
+        loss = logits.gather(1, tt[:, None]).sum()
+        grad = torch.autograd.grad(loss, delta)[0]
+        grad = F.conv2d(grad, kern, padding="same", groups=3)
+        momentum = grad + momentum
+        d = torch.clamp(delta.data + 2 / 255 * momentum.sign(), -EPS, EPS)
+        delta = (torch.clamp(xt + d, 0, 1) - xt).requires_grad_(True)
+
+    atk = ta.load_attack_class("logit")(
+        model_name="resnet18", pretrained=False, input_size=SIZE,
+        epoch=epoch, diversity_prob=0.0, kernel_size=5, targeted=True)
+    atk.model = env["surrogate"]
+    ours = np.asarray(atk(env["x"], pairs))
+
+    clean_rank = _target_rank(env, np.zeros_like(ours), tgt)
+    r_ref = _target_rank(env, _nhwc(delta), tgt)
+    r_ours = _target_rank(env, ours, tgt)
+    assert r_ref < clean_rank - 0.02, (
+        f"logit: reference delta does not move the target rank "
+        f"({clean_rank:.3f} -> {r_ref:.3f})")
+    assert abs(r_ref - r_ours) < 0.05, (
+        f"logit: target rank ref={r_ref:.3f} ours={r_ours:.3f}")
+
+
+def test_transfer_ens(env):
+    """4-CNN paper ensemble abbreviated to two twins: logit-mean ensemble
+    MI-FGSM (``ensemble/ens.py`` + ``utils.py:94-101``)."""
+    import transferattack_tpu as ta
+    from transferattack_tpu.models import make_ensemble
+
+    t2 = _make_twin(31)
+    xt, yt, delta, momentum = _loop_setup(env)
+    for _ in range(EPOCH):
+        logits = (_t_forward(env["t_sur"], xt + delta)
+                  + _t_forward(t2, xt + delta)) / 2
+        loss = F.cross_entropy(logits, yt)
+        grad = torch.autograd.grad(loss, delta)[0]
+        delta, momentum = _mi_step(xt, delta, grad, momentum)
+
+    atk = ta.load_attack_class("ens")(
+        model_name=["resnet18", "resnet18"], pretrained=False,
+        input_size=SIZE)
+    # pack the two converted twins into the ensemble's members_{i} slots
+    s2 = _convert(t2)
+    packed = {
+        "params": {"members_0": env["surrogate"].variables["params"],
+                   "members_1": s2.variables["params"]},
+        "batch_stats": {"members_0": env["surrogate"].variables["batch_stats"],
+                        "members_1": s2.variables["batch_stats"]},
+    }
+    atk.model.variables = packed
+    ours = np.asarray(atk(env["x"], env["y"]))
+    _check(env, _nhwc(delta), ours, DET_TOL, "ens")
+
+
+def test_transfer_tgr():
+    """TGR on the tiny ViT twin (``model_related/tgr.py:49-244``): γ-scaled
+    token-gradient truncation hooks vs the ViTSurgery custom-vjp, run at the
+    reference's mandated batchsize=1 per image, transfer-evaluated on ViT
+    siblings."""
+    import transferattack_tpu as ta
+    from tests.test_surgery_parity import (
+        TViT, _register_tgr_hooks, _tiny_vit_surrogate,
+    )
+    from transferattack_tpu.model_related.vit_attacks import TGR_SURGERY
+
+    torch.manual_seed(46)
+    tmodel = TViT().eval()
+    surrogate = _tiny_vit_surrogate(tmodel, TGR_SURGERY)
+    hooked = TViT().eval()
+    hooked.load_state_dict(tmodel.state_dict())
+    _register_tgr_hooks(hooked)
+
+    nB, size = 8, 32
+    rng = np.random.RandomState(108)
+    x = rng.rand(nB, size, size, 3).astype(np.float32)
+    mean = torch.from_numpy(MEAN).view(1, 3, 1, 1)
+    std = torch.from_numpy(STD).view(1, 3, 1, 1)
+
+    def fwd(m, x_nchw):
+        return m((x_nchw - mean) / std)
+
+    with torch.no_grad():
+        y = fwd(tmodel, torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)).copy())).argmax(1).numpy()
+    y = y.astype(np.int32)
+
+    ref = np.zeros_like(x)
+    for i in range(nB):  # reference TGR mandates batchsize=1
+        xt = torch.from_numpy(np.transpose(x[i:i + 1], (0, 3, 1, 2)).copy())
+        yt = torch.from_numpy(y[i:i + 1]).long()
+        delta = torch.zeros_like(xt, requires_grad=True)
+        momentum = torch.zeros_like(xt)
+        for _ in range(EPOCH):
+            loss = F.cross_entropy(fwd(hooked, xt + delta), yt)
+            grad = torch.autograd.grad(loss, delta)[0]
+            delta, momentum = _mi_step(xt, delta, grad, momentum)
+        ref[i] = np.transpose(delta.detach().numpy(), (0, 2, 3, 1))[0]
+
+    atk = ta.load_attack_class("tgr")(
+        model_name="vit_small_patch16_224", pretrained=False, input_size=size)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+
+    # sibling panel on the ViT twin
+    holdouts = []
+    for s in range(3):
+        import copy
+
+        torch.manual_seed(90 + s)
+        h = copy.deepcopy(tmodel)
+        with torch.no_grad():
+            for p in h.parameters():
+                p.add_(torch.randn_like(p) * 0.05 * p.abs().mean())
+        holdouts.append(h.eval())
+
+    def asr(delta):
+        adv = np.clip(x + delta, 0, 1).astype(np.float32)
+        vals = []
+        for h in holdouts:
+            with torch.no_grad():
+                pc = fwd(h, torch.from_numpy(
+                    np.transpose(x, (0, 3, 1, 2)).copy())).argmax(1).numpy()
+                pa = fwd(h, torch.from_numpy(
+                    np.transpose(adv, (0, 3, 1, 2)).copy())).argmax(1).numpy()
+            vals.append((pa != pc).mean())
+        return float(np.mean(vals))
+
+    a_ref, a_ours = asr(ref), asr(ours)
+    assert a_ref > 0, "tgr: reference delta does not transfer (vacuous)"
+    assert abs(a_ref - a_ours) <= STO_TOL, (
+        f"tgr: transfer ASR ref={a_ref:.3f} ours={a_ours:.3f}")
