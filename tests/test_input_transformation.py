@@ -231,3 +231,79 @@ def test_odi_attack_constraints(toy_batch):
     assert delta.shape == x.shape
     assert np.all(np.abs(delta) <= EPS + 1e-5)
     assert np.any(delta != 0)
+
+
+def test_warp_field_sep_matches_grid_sample_on_smooth_fields():
+    """The separable per-pixel field warp (round 4, IDAA's previously
+    dropped kornia ops) must track the exact 2-D bilinear warp for smooth
+    displacement fields: affine field (exactly representable) and a TPS
+    field (first-order separability error only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transferattack_tpu.ops.image import (
+        affine_grid, grid_sample, tps_field, warp_field_sep, _norm_grid,
+    )
+
+    # smooth test images (white noise makes any two resamplers differ at
+    # O(pixel range) regardless of field accuracy)
+    ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    chans = [np.sin(ii / 5.0 + c) * np.cos(jj / 7.0 - c) * 0.5 + 0.5
+             for c in range(3)]
+    x = jnp.asarray(np.stack(
+        [np.stack(chans, -1), np.stack(chans[::-1], -1)]).astype(np.float32))
+    gy, gx = _norm_grid(32, 32)
+
+    # affine field
+    theta = jnp.asarray(np.tile(np.array(
+        [[1.0, 0.04, 0.08], [0.02, 1.0, -0.06]], np.float32), (2, 1, 1)))
+    grid = affine_grid(theta, 32, 32)
+    dx = (grid[..., 0] - gx[None]) * 16.0
+    dy = (grid[..., 1] - gy[None]) * 16.0
+    ref = grid_sample(x, grid)
+    got = warp_field_sep(x, dx, dy, 6, 6)
+    # first-order separability error (y-field evaluated pre-x-warp) plus
+    # boundary zero-padding differences; interior tracks tightly
+    assert float(jnp.abs(got - ref).mean()) < 0.02
+    assert float(jnp.abs(got - ref)[:, 4:-4, 4:-4].mean()) < 0.012
+
+    # TPS field (scale 0.2)
+    off = jax.random.uniform(jax.random.PRNGKey(3), (2, 9, 2),
+                             minval=-0.2, maxval=0.2)
+    dx, dy = tps_field(off, 32, 32)
+    grid = jnp.stack([gx[None] + dx / 16.0, gy[None] + dy / 16.0], -1)
+    ref = grid_sample(x, grid)
+    got = warp_field_sep(x, dx, dy, 8, 8)
+    assert float(jnp.abs(got - ref).mean()) < 0.03
+    # interior pixels (away from zero-padding boundary handling) agree well
+    assert float(jnp.abs(got - ref)[:, 4:-4, 4:-4].mean()) < 0.02
+
+
+def test_idaa_ten_op_cycle():
+    """All ten reference ops (``idaa.py:79-90``) run, change their block,
+    keep shapes static, and pass gradients (gather-free backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transferattack_tpu.input_transformation.idaa import (
+        _IDAA_OPS, _op_cycle,
+    )
+
+    assert len(_IDAA_OPS) == 10
+    rng = np.random.RandomState(6)
+    flat = jnp.asarray(rng.rand(20, 32, 32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    out = _op_cycle(flat, key)
+    assert out.shape == flat.shape
+    # every op's block differs from the input except where its RNG gate
+    # keeps it (vflip p=0.6 can pass some images through)
+    assert float(jnp.abs(out - flat).mean()) > 0.01
+    for j, op in enumerate(_IDAA_OPS):
+        seg = op(flat[:2], jax.random.fold_in(key, 100 + j))
+        assert seg.shape == (2, 32, 32, 3), op.__name__
+        assert bool(jnp.isfinite(seg).all()), op.__name__
+
+    # gradients flow through the full cycle without gather/scatter faults
+    g = jax.grad(lambda f: _op_cycle(f, key).sum())(flat)
+    assert g.shape == flat.shape and bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0

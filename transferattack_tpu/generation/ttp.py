@@ -22,7 +22,7 @@ from ..models import load_npz_variables
 from ..utils.weights_manifest import record_fallback
 from ..ops import smooth_conv
 from ..utils import generation_target_classes
-from .generators import GeneratorResnet, UNetGenerator
+from .generators import ADAGenerator, AdvGANGenerator, GeneratorResnet
 
 
 def _ttp_gaussian_kernel(kernel_size=3, sigma=1):
@@ -118,9 +118,30 @@ class M3D(GenerativeAttack):
 
 class CDTP(GenerativeAttack):
     """Cross-domain transferable perturbation (``cdtp.py:136-170``):
-    domain-invariant generator, untargeted, no smoothing."""
+    domain-invariant generator, untargeted, no smoothing.
+
+    The shipped reference loads a single ``/netG.pth`` (``cdtp.py:149-151``);
+    the upstream CDA release trains one generator per source domain
+    (paintings / comics / ImageNet / chestX).  ``domain=`` selects a
+    converted per-domain checkpoint ``cdtp_<domain>.npz``, falling back to
+    the flat ``cdtp.npz``."""
 
     ckpt_prefix = "cdtp"
+
+    def __init__(self, *args, domain: str = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.domain = domain
+
+    def _generator_variables(self, idx, x_shape):
+        if self.domain:
+            root = os.environ.get("TA_TPU_WEIGHTS_DIR",
+                                  os.path.join(os.getcwd(), "weights"))
+            path = os.path.join(root, f"cdtp_{self.domain}.npz")
+            if os.path.exists(path):
+                if "domain" not in self._var_cache:
+                    self._var_cache["domain"] = load_npz_variables(path)
+                return self._var_cache["domain"]
+        return super()._generator_variables(idx, x_shape)
 
 
 class LTP(GenerativeAttack):
@@ -131,15 +152,21 @@ class LTP(GenerativeAttack):
 
 
 class GE_ADVGAN(GenerativeAttack):
-    """Gradient-editing AdvGAN (``ge_advgan.py:108-180``): generator emits a
-    perturbation directly, scaled into the eps-ball."""
+    """Gradient-editing AdvGAN (``ge_advgan.py:108-180``): the AdvGAN
+    generator's tanh output IS the signed perturbation — clamped to ±ε and
+    re-clipped into the image box (``forward``, ``ge_advgan.py:165-180``);
+    at odd input sizes torch's shape arithmetic loses a row/column, which
+    the reference restores by cropping the perturbation (``crop``)."""
 
     ckpt_prefix = "ge_advgan"
+    generator_cls = AdvGANGenerator
 
     def generate(self, variables, x):
         pert = self.generator.apply(variables, x)
-        # the AdvGAN generator outputs [0,1]; recenter to a signed perturbation
-        delta = jnp.clip((pert - 0.5) * 2 * self.eps, -self.eps, self.eps)
+        H, W = x.shape[1], x.shape[2]
+        if pert.shape[1] != H or pert.shape[2] != W:
+            pert = pert[:, :H, :W, :]
+        delta = jnp.clip(pert, -self.eps, self.eps)
         return jnp.clip(x + delta, 0.0, 1.0) - x
 
 
@@ -151,10 +178,15 @@ class DSVA(GenerativeAttack):
 
 class ADA(GenerativeAttack):
     """Adversarial-distribution U-Net with stochastic latent
-    (``ada.py:10-203``): draws a fresh z per call."""
+    (``ada.py:10-203``): the faithful AttackGenerator (z tiled into every
+    down block); the tanh output is the perturbation, clamped to ±ε and
+    the image box (``ada.py:67-73``).  The reference duplicates the batch
+    and keeps the first half — a fresh-z-per-image draw, reproduced here
+    with one z per image.  The U-Net closes only at sides ≡ 3 (mod 4)
+    (inception 299); other sizes are edge-padded up and cropped back."""
 
     ckpt_prefix = "ada"
-    generator_cls = UNetGenerator
+    generator_cls = ADAGenerator
     latent_dim = 16
 
     def _generator_variables(self, idx, x_shape):
@@ -175,10 +207,15 @@ class ADA(GenerativeAttack):
 
     def __call__(self, data, label, key=None, idx: int = 0):
         x = jnp.asarray(data)
-        variables = self._generator_variables(idx, x.shape)
+        H, W = x.shape[1], x.shape[2]
+        # the U-Net's skip shapes only close at sides ≡ 3 (mod 4) — 299 in
+        # the reference; edge-pad other sizes up and crop the output back
+        ph, pw = (3 - H % 4) % 4, (3 - W % 4) % 4
+        xg = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        variables = self._generator_variables(idx, xg.shape)
         if key is None:
             key = jax.random.PRNGKey(self.seed + idx)
         z = jax.random.normal(key, (x.shape[0], self.latent_dim))
-        pert = self.generator.apply(variables, x, z)
-        delta = jnp.clip(pert * self.eps, -self.eps, self.eps)
+        pert = self.generator.apply(variables, xg, z)[:, :H, :W, :]
+        delta = jnp.clip(pert, -self.eps, self.eps)
         return jnp.clip(x + delta, 0.0, 1.0) - x

@@ -24,57 +24,158 @@ from ..ops import rotate_shear, translate_sep
 from ..utils import img_max, img_min
 
 
-def _op_cycle(flat, key, aug_p=1.0):
-    """Assign each flattened image ``op[k % n_ops]`` (the reference's
-    deterministic cycling over its kornia list, ``idaa.py:190-195``).
+def _op_hflip(seg, key):
+    return seg[:, :, ::-1, :]
 
-    Op list is a documented gather-free subset of the reference's ten
-    kornia ops (``idaa.py:79-90``): hflip, rotation ±15°, vflip p=0.6,
-    center resize [0.9, 1], small-angle affine (rotate −1..5° + translate
-    ±0.2), and per-image erasing (value 1, area 1–4%, ratio 0.3–1) stand
-    in; perspective / thin-plate-spline / elastic / fisheye need general
-    2-D warps whose scatter-add (and, since round 3, even gather) backward
-    faults the v5e worker at this batch scale — see BASELINE.md.  Every op
-    is computed on the full batch and selected by index mask (a vmapped
-    ``switch`` would execute every branch on TPU anyway)."""
-    N, H, W, _ = flat.shape
-    ks = jax.random.split(key, 9)
-    outs = [flat[:, :, ::-1, :]]  # hflip (p=aug_p → gated below)
-    ang = jax.random.uniform(ks[0], (N,), minval=-15.0, maxval=15.0)
-    outs.append(rotate_shear(flat, ang * jnp.pi / 180,
-                             max_angle=15.5 * jnp.pi / 180))
-    do_v = jax.random.bernoulli(ks[1], 0.6, (N, 1, 1, 1))
-    outs.append(jnp.where(do_v, flat[:, ::-1, :, :], flat))
-    # per-image scale (the reference's RandomResizedCrop-style op sees each
-    # image in its own batch of 1, so scales are independent)
-    s = jax.random.uniform(ks[2], (N,), minval=0.9, maxval=1.0)
-    outs.append(jax.vmap(
+
+def _op_perspective(seg, key, scale=0.5):
+    """RandomPerspective(0.5) (``idaa.py:81``): each output corner's source
+    is pulled inward by U(0, scale) normalized (kornia samples corner
+    offsets up to distortion_scale·half-side); homography solved by batched
+    DLT, applied as a separable per-pixel field warp."""
+    from ..ops.image import homography_field, warp_field_sep
+
+    S, H, W, _ = seg.shape
+    d = jax.random.uniform(key, (S, 4, 2), minval=0.0, maxval=scale)
+    base = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
+                     jnp.float32)
+    inward = jnp.array([[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]],
+                       jnp.float32)
+    corners = base[None] + inward[None] * d
+    dx, dy = homography_field(corners, H, W)
+    M = int(scale * W / 2) + 2
+    return warp_field_sep(seg, dx, dy, M, int(scale * H / 2) + 2)
+
+
+def _op_rotation(seg, key):
+    S = seg.shape[0]
+    ang = jax.random.uniform(key, (S,), minval=-15.0, maxval=15.0)
+    return rotate_shear(seg, ang * jnp.pi / 180,
+                        max_angle=15.5 * jnp.pi / 180)
+
+
+def _op_vflip(seg, key):
+    do_v = jax.random.bernoulli(key, 0.6, (seg.shape[0], 1, 1, 1))
+    return jnp.where(do_v, seg[:, ::-1, :, :], seg)
+
+
+def _op_tps(seg, key, scale=0.3):
+    """RandomThinPlateSpline(0.3) (``idaa.py:84``): 3×3 control grid
+    displaced by U(−scale, scale); exact TPS field (static control points →
+    compile-time system inverse), separable field warp."""
+    from ..ops.image import tps_field, warp_field_sep
+
+    S, H, W, _ = seg.shape
+    off = jax.random.uniform(key, (S, 9, 2), minval=-scale, maxval=scale)
+    dx, dy = tps_field(off, H, W)
+    # TPS can overshoot the control offsets between knots; 1.5× margin
+    M = int(1.5 * scale * W / 2) + 2
+    return warp_field_sep(seg, dx, dy, M, int(1.5 * scale * H / 2) + 2)
+
+
+def _op_resize(seg, key):
+    # per-image scale (the reference's RandomResize sees each image in its
+    # own batch of 1, so scales are independent)
+    S, H, W, _ = seg.shape
+    s = jax.random.uniform(key, (S,), minval=0.9, maxval=1.0)
+    return jax.vmap(
         lambda img, si: jax.image.scale_and_translate(
             img[None], (1, H, W, img.shape[-1]), (1, 2), jnp.stack([si, si]),
             jnp.stack([H * (1 - si) / 2, W * (1 - si) / 2]),
-            method="linear")[0])(flat, s))
-    ang2 = jax.random.uniform(ks[3], (N,), minval=-1.0, maxval=5.0)
-    aff = rotate_shear(flat, ang2 * jnp.pi / 180,
+            method="linear")[0])(seg, s)
+
+
+def _op_affine(seg, key):
+    S, H, W, _ = seg.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang2 = jax.random.uniform(k1, (S,), minval=-1.0, maxval=5.0)
+    aff = rotate_shear(seg, ang2 * jnp.pi / 180,
                        max_angle=5.5 * jnp.pi / 180)
-    tx = jax.random.uniform(ks[4], (N,), minval=-0.2, maxval=0.2)
-    ty = jax.random.uniform(ks[5], (N,), minval=-0.2, maxval=0.2)
-    outs.append(translate_sep(aff, tx, ty, max_shift=int(0.1 * W) + 2))
-    area = jax.random.uniform(ks[6], (N, 1, 1),
-                              minval=0.01, maxval=0.04) * H * W
-    ratio = jax.random.uniform(ks[7], (N, 1, 1), minval=0.3, maxval=1.0)
+    tx = jax.random.uniform(k2, (S,), minval=-0.2, maxval=0.2)
+    ty = jax.random.uniform(k3, (S,), minval=-0.2, maxval=0.2)
+    return translate_sep(aff, tx, ty, max_shift=int(0.1 * W) + 2)
+
+
+def _op_erase(seg, key):
+    S, H, W, _ = seg.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    area = jax.random.uniform(k1, (S, 1, 1), minval=0.01, maxval=0.04) * H * W
+    ratio = jax.random.uniform(k2, (S, 1, 1), minval=0.3, maxval=1.0)
     eh, ew = jnp.sqrt(area * ratio), jnp.sqrt(area / ratio)
-    u = jax.random.uniform(ks[8], (2, N, 1, 1))
+    u = jax.random.uniform(k3, (2, S, 1, 1))
     top, left = u[0] * (H - eh), u[1] * (W - ew)
-    rows = jnp.arange(H, dtype=flat.dtype)[None, :, None]
-    cols = jnp.arange(W, dtype=flat.dtype)[None, None, :]
+    rows = jnp.arange(H, dtype=seg.dtype)[None, :, None]
+    cols = jnp.arange(W, dtype=seg.dtype)[None, None, :]
     box = ((rows >= top) & (rows < top + eh)
            & (cols >= left) & (cols < left + ew))
-    outs.append(jnp.where(box[..., None], 1.0, flat))
+    return jnp.where(box[..., None], 1.0, seg)
 
-    idx = jnp.arange(N) % len(outs)
-    out = flat
-    for i, o in enumerate(outs):
-        out = jnp.where((idx == i)[:, None, None, None], o, out)
+
+def _op_elastic(seg, key):
+    """RandomElasticTransform((27,27), (33,31), (0.1,1.0)) (``idaa.py:88``):
+    U(−1,1) noise, 27-tap gaussian blur (σ 33/31 ≈ box), scaled by
+    α = (0.1, 1.0) in normalized units, applied as a per-pixel field."""
+    from ..ops.image import gaussian_blur_sep, warp_field_sep
+
+    S, H, W, _ = seg.shape
+    noise = jax.random.uniform(key, (S, H, W, 2), minval=-1.0, maxval=1.0)
+    disp = gaussian_blur_sep(noise, 27, 33.0, 31.0)
+    dx = disp[..., 0] * 0.1 * (W / 2.0)
+    dy = disp[..., 1] * 1.0 * (H / 2.0)
+    # post-blur amplitude ≪ 1; clamp window sized to the realistic tail
+    return warp_field_sep(seg, dx, dy, max(int(0.02 * W), 2) + 2,
+                          max(int(0.15 * H), 2) + 2)
+
+
+def _op_fisheye(seg, key):
+    """RandomFisheye(±0.3 center, γ∈[0.9,1.0]) (``idaa.py:89``): barrel
+    distortion ``src = c + (p−c)(1 + γ·r²)`` with kornia's parameter
+    ranges; the outer ring whose sources fall beyond the clamp window
+    samples outside the image and is zeroed (``zero_beyond``)."""
+    from ..ops.image import _norm_grid, warp_field_sep
+
+    S, H, W, _ = seg.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    cx = jax.random.uniform(k1, (S, 1, 1), minval=-0.3, maxval=0.3)
+    cy = jax.random.uniform(k2, (S, 1, 1), minval=-0.3, maxval=0.3)
+    g = jax.random.uniform(k3, (S, 1, 1), minval=0.9, maxval=1.0)
+    gy, gx = _norm_grid(H, W)
+    rx, ry = gx[None] - cx, gy[None] - cy
+    r2 = rx * rx + ry * ry
+    dx = rx * g * r2 * (W / 2.0)
+    dy = ry * g * r2 * (H / 2.0)
+    M = int(0.4 * W) + 2
+    return warp_field_sep(seg, dx, dy, M, int(0.4 * H) + 2, zero_beyond=True)
+
+
+_IDAA_OPS = (_op_hflip, _op_perspective, _op_rotation, _op_vflip, _op_tps,
+             _op_resize, _op_affine, _op_erase, _op_elastic, _op_fisheye)
+
+
+def _op_cycle(flat, key, aug_p=1.0):
+    """Assign each flattened image one op from the reference's ten-op
+    kornia list in order (``idaa.py:79-90``: hflip, perspective, rotation
+    ±15°, vflip p=0.6, thin-plate-spline, resize [0.9,1], affine, erasing,
+    elastic, fisheye — all ten implemented gather-free since round 4; the
+    2-D warps ride :func:`warp_field_sep`'s separable per-pixel shifts).
+
+    Adaptation (documented): the reference assigns ``op[k % 10]`` over the
+    flattened copies·batch axis; here ops own *contiguous* blocks of the
+    same sizes, so each op runs once on a static slice — no masked
+    execute-all-branches, no gather to reassemble.  The per-image op
+    multiset across copies is equivalent up to block-boundary placement,
+    and each image still sees ~all ops across its num_scale+1 copies."""
+    N = flat.shape[0]
+    n_ops = len(_IDAA_OPS)
+    bounds = [round(j * N / n_ops) for j in range(n_ops + 1)]
+    ks = jax.random.split(key, n_ops)
+    outs = []
+    for j, op in enumerate(_IDAA_OPS):
+        seg = flat[bounds[j]:bounds[j + 1]]
+        if seg.shape[0] == 0:
+            continue
+        outs.append(op(seg, ks[j]))
+    out = jnp.concatenate(outs, axis=0)
     if aug_p < 1.0:
         gate = jax.random.bernoulli(
             jax.random.fold_in(key, 77), aug_p, (N, 1, 1, 1))

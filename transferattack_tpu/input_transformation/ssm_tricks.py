@@ -7,10 +7,11 @@ masked-and-perturbed, the corner zeroed.  (The reference registry maps
 ``ssm_p`` to a mismatched class name — SURVEY.md §2.2 flags it; both
 variants are implemented faithfully here.)
 
-ODI renders the adversary as a texture on random 3D objects through
-pytorch3d (``odi/odi.py:238-341``).  Without a JAX rasterizer, the render is
-approximated by random perspective + thin-plate warps composited on gray —
-the same object-surface-distortion effect, documented as an approximation.
+ODI renders the adversary as a texture on random 3D objects
+(``odi/odi.py:238-341``, pytorch3d in the reference).  Here the render is a
+real from-scratch barycentric z-buffer rasterizer (``ops/render3d.py``)
+over the converted reference meshes (``assets/odi/*.npz``,
+``scripts/convert_odi_meshes.py``) — not an approximation.
 """
 from __future__ import annotations
 

@@ -290,10 +290,18 @@ def shift_interp(x, shift, axis: int, max_shift: int):
     ``out[o] = (1-f)·x[o+k] + f·x[o+k+1]`` along ``axis`` where
     ``shift = k+f`` (sampling convention ``src = out + shift``: positive
     shift moves content toward index 0, same as :func:`translate`).
-    ``shift`` must be broadcastable to ``x.shape[:3]`` with size 1 on the
-    shifted axis — e.g. ``(B, 1, 1)`` for a per-image shift along W,
-    ``(B, H, 1)`` for a per-row shear.  Taps outside the image read zero
-    (grid_sample zero padding); shifts are clamped to ``±max_shift``.
+    ``shift`` must be broadcastable to ``x.shape[:3]`` — e.g. ``(B, 1, 1)``
+    for a per-image shift along W, ``(B, H, 1)`` for a per-row shear, or
+    ``(B, H, W)`` for a fully per-pixel 1-D resample (the building block of
+    :func:`warp_field_sep`).  Taps outside the image read zero (grid_sample
+    zero padding); shifts are clamped to ``±max_shift``.
+
+    When the shift varies *along the shifted axis itself* the hand-written
+    VJP below (``S(s)ᵀ ≈ S(−s)``) is the continuous-operator adjoint — the
+    same first-order approximation :func:`affine_warp_fast` uses — exact
+    for shifts constant along the axis, accurate to O(∂s/∂o) otherwise.
+    All consumers of the per-pixel mode are random augmentations with
+    smooth fields whose aggregated gradient sign is what matters.
 
     Built from ``2·max_shift+2`` static slices of a zero-padded copy with
     2-hot weights, so both directions are pads, slices, and multiply-adds:
@@ -390,3 +398,136 @@ def rotate_shear(x, angle, max_angle: float = 0.25):
     out = shift_interp(x, s_x[:, :, None], 2, Mx)
     out = shift_interp(out, s_y[:, None, :], 1, My)
     return shift_interp(out, s_x[:, :, None], 2, Mx)
+
+
+def warp_field_sep(x, dx, dy, max_x: int, max_y: int, zero_beyond=False):
+    """Approximate 2-D displacement warp as two per-pixel 1-D resamples.
+
+    ``dx``/``dy``: (B, H, W) source displacements in *pixels*
+    (``src = p + d(p)``, grid_sample orientation).  Pass 1 resamples along
+    W by ``dx``, pass 2 along H by ``dy`` — the Catmull–Smith-style
+    separable decomposition, first-order exact for smooth fields (the
+    y-field is evaluated on the pre-warp grid, error O(|d|·∂d)).  Both
+    passes are :func:`shift_interp`, so forward AND backward are pads,
+    slices, and multiply-adds — no gather/scatter anywhere (plain gathers
+    in warp backwards fault the v5e worker at attack batch scale,
+    BASELINE.md round 3).
+
+    ``zero_beyond``: zero pixels whose displacement exceeds the clamp
+    window — for warps (fisheye) whose large-displacement ring samples
+    outside the image, where zero padding, not clamped resampling, is the
+    faithful result.
+    """
+    out = shift_interp(x, dx, 2, max_x)
+    out = shift_interp(out, dy, 1, max_y)
+    if zero_beyond:
+        valid = (jnp.abs(dx) <= max_x) & (jnp.abs(dy) <= max_y)
+        out = out * valid[..., None].astype(out.dtype)
+    return out
+
+
+def _norm_grid(H: int, W: int, dtype=jnp.float32):
+    """align_corners=False normalized pixel-center coordinates."""
+    ys = (2.0 * jnp.arange(H, dtype=dtype) + 1.0) / H - 1.0
+    xs = (2.0 * jnp.arange(W, dtype=dtype) + 1.0) / W - 1.0
+    return jnp.meshgrid(ys, xs, indexing="ij")  # (H, W) each
+
+
+def homography_field(src_corners, H: int, W: int):
+    """Per-pixel displacement field of the homography mapping the output
+    corners (±1, ±1) to ``src_corners`` (B, 4, 2) normalized (x, y), corner
+    order (-1,-1), (1,-1), (1,1), (-1,1).  Returns (dx, dy) in pixels for
+    :func:`warp_field_sep`.  The 8×8 DLT solve is batched dense algebra —
+    no gather."""
+    B = src_corners.shape[0]
+    base = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
+                     jnp.float32)
+
+    def dlt_rows(p, q):
+        # p: output corner (x, y); q: source corner (u, v)
+        x, y = p[0], p[1]
+        u, v = q[0], q[1]
+        r1 = jnp.stack([x, y, 1.0, 0.0 * x, 0.0 * x, 0.0 * x, -u * x, -u * y])
+        r2 = jnp.stack([0.0 * x, 0.0 * x, 0.0 * x, x, y, 1.0, -v * x, -v * y])
+        return jnp.stack([r1, r2]), jnp.stack([u, v])
+
+    def solve_one(corners):
+        rows, rhs = jax.vmap(dlt_rows)(jnp.broadcast_to(base, (4, 2)), corners)
+        A = rows.reshape(8, 8)
+        b = rhs.reshape(8)
+        h = jnp.linalg.solve(A, b)
+        return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+
+    Hm = jax.vmap(solve_one)(src_corners.astype(jnp.float32))  # (B, 3, 3)
+    gy, gx = _norm_grid(H, W)
+    ones = jnp.ones_like(gx)
+    pts = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
+    proj = jnp.einsum("bij,hwj->bhwi", Hm, pts)
+    sx = proj[..., 0] / proj[..., 2]
+    sy = proj[..., 1] / proj[..., 2]
+    dx = (sx - gx[None]) * (W / 2.0)
+    dy = (sy - gy[None]) * (H / 2.0)
+    return dx, dy
+
+
+def tps_field(offsets, H: int, W: int, grid_n: int = 3):
+    """Thin-plate-spline displacement field from a ``grid_n × grid_n``
+    control grid on [-1, 1]² displaced by ``offsets`` (B, grid_n², 2)
+    normalized.  Exact TPS (U(r) = r²·log r²) — the control points are
+    static, so the (K+P) system inverse is a compile-time constant and the
+    evaluation is one einsum.  Returns (dx, dy) in pixels."""
+    import numpy as np
+
+    n = grid_n * grid_n
+    lin = np.linspace(-1.0, 1.0, grid_n, dtype=np.float32)
+    cy, cx = np.meshgrid(lin, lin, indexing="ij")
+    ctrl = np.stack([cx.ravel(), cy.ravel()], -1)  # (n, 2)
+
+    def U(r2):
+        return r2 * np.log(r2 + 1e-9)
+
+    d2 = ((ctrl[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1)
+    K = U(d2)
+    P = np.concatenate([np.ones((n, 1), np.float32), ctrl], 1)  # (n, 3)
+    L = np.zeros((n + 3, n + 3), np.float32)
+    L[:n, :n] = K
+    L[:n, n:] = P
+    L[n:, :n] = P.T
+    Linv = jnp.asarray(np.linalg.inv(L))  # static
+
+    gy, gx = _norm_grid(H, W)
+    pts = jnp.stack([gx.ravel(), gy.ravel()], -1)  # (HW, 2)
+    r2 = ((pts[:, None, :] - jnp.asarray(ctrl)[None]) ** 2).sum(-1)
+    Ue = r2 * jnp.log(r2 + 1e-9)  # (HW, n)
+    Pe = jnp.concatenate([jnp.ones((pts.shape[0], 1)), pts], 1)  # (HW, 3)
+    basis = jnp.concatenate([Ue, Pe], 1)  # (HW, n+3)
+
+    rhs = jnp.concatenate(
+        [offsets.astype(jnp.float32),
+         jnp.zeros((offsets.shape[0], 3, 2), jnp.float32)], axis=1)
+    wa = jnp.einsum("ij,bjk->bik", Linv, rhs)  # (B, n+3, 2)
+    f = jnp.einsum("pj,bjk->bpk", basis, wa).reshape(
+        offsets.shape[0], H, W, 2)
+    return f[..., 0] * (W / 2.0), f[..., 1] * (H / 2.0)
+
+
+def gaussian_blur_sep(field, kernel_size: int, sigma_x: float, sigma_y: float):
+    """Separable gaussian blur of a (B, H, W, C) field via two depthwise
+    convs (kornia ``gaussian_blur2d`` semantics, reflect-free same padding)."""
+    def kern(sig):
+        half = (kernel_size - 1) / 2.0
+        t = jnp.arange(kernel_size, dtype=jnp.float32) - half
+        k = jnp.exp(-0.5 * (t / sig) ** 2)
+        return k / k.sum()
+
+    C = field.shape[-1]
+    kx = jnp.tile(kern(sigma_x).reshape(1, kernel_size, 1, 1), (1, 1, 1, C))
+    ky = jnp.tile(kern(sigma_y).reshape(kernel_size, 1, 1, 1), (1, 1, 1, C))
+    dn = jax.lax.conv_dimension_numbers(field.shape, kx.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        field.astype(jnp.float32), kx, (1, 1), "SAME", dimension_numbers=dn,
+        feature_group_count=C)
+    out = jax.lax.conv_general_dilated(
+        out, ky, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C)
+    return out

@@ -81,6 +81,21 @@ _REWRITES = [
     (re.compile(r"(^|/)(features_\d+)_1(?=/)"), r"\1\2/bn"),
     (re.compile(r"(conv_\d+)_0(?=/)"), r"\1/conv"),
     (re.compile(r"(conv_\d+)_1(?=/)"), r"\1/bn"),
+    # GeneratorResnet (TTP/M3D/CDTP/LTP/GE-AdvGAN generators,
+    # ``generation/cdtp.py:23-130``): torch Sequential indices → named
+    # conv/bn children in generation/generators.py (resblock Sequential:
+    # 0 pad, 1 conv, 2 bn, 3 relu, 4 dropout, 5 pad, 6 conv, 7 bn)
+    (re.compile(r"(^|/)block1_1(?=/)"), r"\1block1_conv"),
+    (re.compile(r"(^|/)block1_2(?=/)"), r"\1block1_bn"),
+    (re.compile(r"(^|/)block([23])_0(?=/)"), r"\1block\2_conv"),
+    (re.compile(r"(^|/)block([23])_1(?=/)"), r"\1block\2_bn"),
+    (re.compile(r"(resblock\d+)/block_1(?=/)"), r"\1/conv1"),
+    (re.compile(r"(resblock\d+)/block_2(?=/)"), r"\1/bn1"),
+    (re.compile(r"(resblock\d+)/block_6(?=/)"), r"\1/conv2"),
+    (re.compile(r"(resblock\d+)/block_7(?=/)"), r"\1/bn2"),
+    (re.compile(r"(upsampl\d)_0(?=/)"), r"\1_conv"),
+    (re.compile(r"(upsampl\d)_1(?=/)"), r"\1_bn"),
+    (re.compile(r"(^|/)blockf_1(?=/)"), r"\1blockf_conv"),
     # Stable-Diffusion stack (diffusers UNet/VAE + HF CLIP text encoder):
     # join the sampler/FF Sequentials into the single Flax module names
     (re.compile(r"(downsamplers_0|upsamplers_0)/conv"), r"\1_conv"),
@@ -247,6 +262,60 @@ _SD_MODULES = {
     "sd_text": lambda: _sd_module("text"),
 }
 
+# generator-npz-name prefixes → generation module factory (param shapes are
+# input-size independent, so tiny init shapes suffice)
+_GENERATOR_PREFIXES = ("ttp_", "m3d_", "cdtp", "ltp", "dsva", "ge_advgan",
+                       "ada")
+
+
+def _generator_module(npz_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from ..generation.generators import (
+        ADAGenerator, AdvGANGenerator, GeneratorResnet,
+    )
+
+    if npz_name.startswith("ge_advgan"):
+        mod = AdvGANGenerator()
+        vars_ = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    elif npz_name.startswith("ada"):
+        mod = ADAGenerator()
+        vars_ = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 35, 35, 3)),
+                         jnp.zeros((1, 16)))
+    else:
+        mod = GeneratorResnet()
+        vars_ = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return mod, vars_
+
+
+def convert_generator(npz_name: str, state_dict_path: str,
+                      out_dir: str = None) -> str:
+    """Convert an official generator checkpoint (TTP/M3D/CDTP/LTP/DSVA
+    GeneratorResnet, GE-AdvGAN Generator, ADA AttackGenerator) into the
+    matching Flax generator npz (parity: tests/test_generation_parity.py)."""
+    import torch
+
+    from ..models import save_npz_variables
+
+    state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    converted = torch_state_dict_to_flax(state, prefix="")
+    _, ref_vars = _generator_module(npz_name)
+    variables, report = reconcile_with_module(converted, ref_vars)
+    if report["missing"] or report["mismatched"]:
+        print(f"[convert] {npz_name}: {len(report['missing'])} missing, "
+              f"{len(report['mismatched'])} mismatched")
+        for m in (report["missing"] + report["mismatched"])[:20]:
+            print("  ", m)
+    out_dir = out_dir or os.environ.get(
+        "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+    )
+    path = os.path.join(out_dir, f"{npz_name}.npz")
+    save_npz_variables(path, variables)
+    return path
+
 
 def _sd_module(kind: str):
     import jax
@@ -324,6 +393,8 @@ def convert_all(download_dir: str) -> None:
                 out = convert_hgd(path, model)
             elif art.npz in _SD_MODULES:
                 out = convert_sd(art.npz, path)
+            elif art.npz.startswith(_GENERATOR_PREFIXES):
+                out = convert_generator(art.npz, path)
             else:
                 out = convert_and_save(art.npz, path)
             converted.append((art.npz, out))
@@ -348,5 +419,7 @@ if __name__ == "__main__":
         convert_all(sys.argv[sys.argv.index("--all") + 1])
     elif sys.argv[1] in _SD_MODULES:
         print(convert_sd(sys.argv[1], sys.argv[2]))
+    elif sys.argv[1].startswith(_GENERATOR_PREFIXES):
+        print(convert_generator(sys.argv[1], sys.argv[2]))
     else:
         print(convert_and_save(sys.argv[1], sys.argv[2]))
