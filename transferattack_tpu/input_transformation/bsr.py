@@ -79,28 +79,42 @@ def _rotate_row_strips(x, h_edges, angles):
     return jnp.einsum("hvw,bhwc->bhvc", M1, h2)
 
 
-def bsr_shuffle_rows_first(x, key, num_block: int, max_angle_deg: float = 24.0):
+def bsr_shuffle_rows_first(x, key, num_block: int, max_angle_deg: float = 24.0,
+                           params=None):
+    """``params`` (optional dict: ``h_edges, angles, w_edges (nb, nb),
+    col_perms (nb, nb), row_perm``) bypasses sampling — used by the
+    fixed-parameter parity twins (``tests/test_attack_parity2.py``)."""
     B, H, W, C = x.shape
-    kh, kang, kperm_h, kcols = jax.random.split(key, 4)
-    h_edges = bsr_lengths(kh, H, num_block)
-    angles = (
-        jax.random.uniform(kang, (num_block,), minval=-max_angle_deg, maxval=max_angle_deg)
-        * jnp.pi / 180.0
-    )
+    if params is None:
+        kh, kang, kperm_h, kcols = jax.random.split(key, 4)
+        h_edges = bsr_lengths(kh, H, num_block)
+        angles = (
+            jax.random.uniform(kang, (num_block,), minval=-max_angle_deg,
+                               maxval=max_angle_deg)
+            * jnp.pi / 180.0
+        )
+    else:
+        h_edges, angles = params["h_edges"], params["angles"]
     rotated = _rotate_row_strips(x, h_edges, angles)
 
     # per-row-strip column shuffle (fresh cuts + permutation per strip)
     h_id = block_id(h_edges, H)
     colmaps = []
     for s in range(num_block):
-        k1, k2, kcols = jax.random.split(kcols, 3)
-        w_edges = bsr_lengths(k1, W, num_block)
-        perm = jax.random.permutation(k2, num_block)
+        if params is None:
+            k1, k2, kcols = jax.random.split(kcols, 3)
+            w_edges = bsr_lengths(k1, W, num_block)
+            perm = jax.random.permutation(k2, num_block)
+        else:
+            w_edges, perm = params["w_edges"][s], params["col_perms"][s]
         colmaps.append(permute_strips(w_edges, perm, W))
     colmap = jnp.stack(colmaps)  # (num_block, W)
 
     # row-strip shuffle
-    perm_rows = jax.random.permutation(kperm_h, num_block)
+    if params is None:
+        perm_rows = jax.random.permutation(kperm_h, num_block)
+    else:
+        perm_rows = params["row_perm"]
     rowmap = permute_strips(h_edges, perm_rows, H)  # (H,)
 
     # structured axis-take for rows, one-hot einsum for the per-strip column
@@ -112,9 +126,24 @@ def bsr_shuffle_rows_first(x, key, num_block: int, max_angle_deg: float = 24.0):
     return jnp.einsum("hvw,bhwc->bhvc", CP, taken)
 
 
-def bsr_one_copy(x, key, num_block: int):
-    korder, kmain = jax.random.split(key)
-    flip = jax.random.bernoulli(korder)
+def bsr_one_copy(x, key, num_block: int, params=None):
+    if params is None:
+        korder, kmain = jax.random.split(key)
+        flip = jax.random.bernoulli(korder)
+    else:
+        kmain = key
+        flip = params["flip"]
+
+    B, H, W, C = x.shape
+    if H == W:
+        # Orientation flip as two cheap selects around ONE shuffle pass.
+        # Under the copies-axis vmap a ``lax.cond`` executes both branches,
+        # doubling the whole transform (measured: BSR below its copy bound,
+        # BASELINE.md round 3); for square inputs the flip commutes with a
+        # transpose of the same static shape.
+        xin = jnp.where(flip, jnp.swapaxes(x, 1, 2), x)
+        out = bsr_shuffle_rows_first(xin, kmain, num_block, params=params)
+        return jnp.where(flip, jnp.swapaxes(out, 1, 2), out)
 
     def rows_first(xx):
         return bsr_shuffle_rows_first(xx, kmain, num_block)

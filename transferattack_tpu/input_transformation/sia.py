@@ -20,18 +20,26 @@ from ..ops.blocks import block_bounds, block_id, random_cuts
 NUM_OPS = 7
 
 
-def sia_blocktransform(x, key, num_block: int, eps_noise: float = 16 / 255):
-    """One SIA copy: per-cell random op, compiled to gather + pointwise."""
+def sia_blocktransform(x, key, num_block: int, eps_noise: float = 16 / 255,
+                       params=None):
+    """One SIA copy: per-cell random op, compiled to gather + pointwise.
+
+    ``params`` (optional dict with keys ``h_edges, w_edges, ops, shift_v,
+    shift_h, scale, noise``) bypasses sampling entirely — used by the
+    fixed-parameter parity twins (``tests/test_attack_parity2.py``) to pin
+    the index-map math against the reference's dynamic-slice ops."""
     B, H, W, C = x.shape
+    if params is not None:
+        h_edges, w_edges = params["h_edges"], params["w_edges"]
+        ops = params["ops"]
+        shift_v, shift_h = params["shift_v"], params["shift_h"]
+        scale, noise = params["scale"], params["noise"]
+        return _sia_apply(x, h_edges, w_edges, ops, shift_v, shift_h,
+                          scale, noise, num_block)
     kh, kw, kop, kshift_v, kshift_h, kscale, knoise = jax.random.split(key, 7)
 
     h_edges = random_cuts(kh, H, num_block)
     w_edges = random_cuts(kw, W, num_block)
-    h_id = block_id(h_edges, H)  # (H,) row's block row-index
-    w_id = block_id(w_edges, W)
-    h_starts, h_lens = block_bounds(h_edges)
-    w_starts, w_lens = block_bounds(w_edges)
-
     ops = jax.random.randint(kop, (num_block, num_block), 0, NUM_OPS)
     # per-cell fractional shift / scale draws
     shift_v = jax.random.uniform(kshift_v, (num_block, num_block))
@@ -40,6 +48,17 @@ def sia_blocktransform(x, key, num_block: int, eps_noise: float = 16 / 255):
     noise = jax.random.uniform(
         knoise, x.shape, x.dtype, minval=-eps_noise, maxval=eps_noise
     )
+    return _sia_apply(x, h_edges, w_edges, ops, shift_v, shift_h, scale,
+                      noise, num_block)
+
+
+def _sia_apply(x, h_edges, w_edges, ops, shift_v, shift_h, scale, noise,
+               num_block: int):
+    B, H, W, C = x.shape
+    h_id = block_id(h_edges, H)
+    w_id = block_id(w_edges, W)
+    h_starts, h_lens = block_bounds(h_edges)
+    w_starts, w_lens = block_bounds(w_edges)
 
     rows = jnp.arange(H)
     cols = jnp.arange(W)
