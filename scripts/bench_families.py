@@ -24,6 +24,27 @@ CASES = [
     ("l2t", "resnet50", {}, "3 learned 2-op aug chains (10-way op switch)"),
     ("idaa", "resnet50", {}, "10 warp copies + local mixup, targeted"),
     ("anda", "resnet50", {}, "25 translated views per iteration"),
+    # ---- round-4 tail (VERDICT r3 §6): every remaining compute shape ----
+    ("rap", "resnet50", {}, "official 400 epochs, 8-step inner adv after "
+     "transpoint=100 -> 2500 fwd+bwd passes (250x mifgsm bound)"),
+    ("foolmix", "resnet50", {}, "m=5 mix lines x (n=3+z=1) samples + k=5 "
+     "dict grads per iter -> ~25x mifgsm bound"),
+    ("decowa", "resnet50", {}, "20 elastic warps x (1+rho-step grad) per "
+     "iter, host TPS solve -> ~40x bound"),
+    ("mef", "resnet50", {}, "20 neighbors x 2-point lookahead x 20 epochs "
+     "-> ~84x mifgsm bound"),
+    ("fgsra", "resnet50", {}, "20 freq-domain neighbors (DCT mask+noise) "
+     "-> ~21x bound"),
+    ("cfm", "resnet50", {}, "targeted T=300 protocol, 2 mixed copies via "
+     "feature-mix taps -> ~60x bound"),
+    ("odi", "resnet50", {}, "num_sample=10 3D renders/iter (barycentric "
+     "rasterizer) + TI smoothing, targeted T=300"),
+    ("everywhere", "resnet50", {}, "CDTM region views (3x3 grid) x CFM "
+     "mixup per iter"),
+    ("dra", "resnet50", {}, "checkpoint-surrogate family shape (DRA "
+     "fine-tuned weights; random fallback offline) = mifgsm compute"),
+    ("vdc", "vit_base_patch16_224", {}, "ViT virtual dense connection: "
+     "attn+mlp cotangent injections"),
 ]
 
 

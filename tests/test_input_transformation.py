@@ -307,3 +307,71 @@ def test_idaa_ten_op_cycle():
     g = jax.grad(lambda f: _op_cycle(f, key).sum())(flat)
     assert g.shape == flat.shape and bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_translate_scalar_matches_gather_translate():
+    # ANDA's per-view path: one scalar offset shared by the batch — four
+    # dynamic slices must reproduce grid_sample translation semantics
+    from transferattack_tpu.ops import translate, translate_scalar
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    for tx, ty in [(0.0, 0.0), (0.17, -0.23), (-0.3, 0.3), (0.299, 0.299)]:
+        a = np.asarray(translate(x, tx, ty))
+        b = np.asarray(translate_scalar(x, tx, ty, max_shift=6))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f"t=({tx},{ty})")
+    # gradient path: block-write backward, finite and nonzero
+    g = jax.grad(lambda v: (translate_scalar(v, 0.21, -0.11, 6) ** 2).sum())(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_affine_warp_sep_matches_gather_warp():
+    """RQ + padded three-shear + triangular passes vs direct grid_sample
+    over TRAP's harsh RandomAffine distribution (``ir.py:197-216``): the
+    multi-pass resampler agrees on smooth images away from edges, is
+    near-exact for pure translations and the rot90-pivot path, and
+    backpropagates finite gradients."""
+    from transferattack_tpu.ops import affine_warp, affine_warp_sep
+
+    B, S = 16, 64
+    yy, xx = np.meshgrid(np.linspace(0, 3, S), np.linspace(0, 3, S),
+                         indexing="ij")
+    base = 0.5 + 0.3 * np.sin(2 * yy + 1) * np.cos(3 * xx) + 0.2 * np.cos(yy * xx)
+    x = jnp.asarray(np.broadcast_to(
+        base[None, :, :, None], (B, S, S, 3)).astype(np.float32))
+
+    k1, k2, k3, k4, k5, k6 = jax.random.split(jax.random.PRNGKey(1), 6)
+    ang = jax.random.uniform(k1, (B,), minval=-90.0, maxval=90.0) * jnp.pi / 180
+    sx = jax.random.uniform(k2, (B,), minval=-30.0, maxval=30.0) * jnp.pi / 180
+    sy = jax.random.uniform(k3, (B,), minval=-30.0, maxval=30.0) * jnp.pi / 180
+    sc = jax.random.uniform(k4, (B,), minval=0.5, maxval=1.5)
+    tx = jax.random.uniform(k5, (B,), minval=-0.2, maxval=0.2)
+    ty = jax.random.uniform(k6, (B,), minval=-0.2, maxval=0.2)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    theta = jnp.stack(
+        [jnp.stack([c / sc, (-s + jnp.tan(sx)) / sc, tx], -1),
+         jnp.stack([(s + jnp.tan(sy)) / sc, c / sc, ty], -1)], 1)
+
+    ref = np.asarray(affine_warp(x, theta))
+    got = np.asarray(affine_warp_sep(x, theta))
+    m = np.zeros((S, S), bool)
+    m[4:-4, 4:-4] = True
+    assert np.abs(ref - got)[:, m].mean() < 0.02
+    assert np.abs(ref - got)[:, m].max() < 0.35  # kernel-scale, multi-pass
+
+    # pure translation: exact to rounding
+    tr = jnp.zeros((B, 2, 3)).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+    tr = tr.at[:, 0, 2].set(jnp.linspace(-0.3, 0.3, B)).at[:, 1, 2].set(0.12)
+    np.testing.assert_allclose(np.asarray(affine_warp(x, tr)),
+                               np.asarray(affine_warp_sep(x, tr)), atol=1e-4)
+
+    # near-90° rotation exercises the exact rot90 pivot
+    ang9 = jnp.full((B,), 88.0) * jnp.pi / 180
+    c9, s9 = jnp.cos(ang9), jnp.sin(ang9)
+    r = jnp.stack([jnp.stack([c9, -s9, jnp.zeros(B)], -1),
+                   jnp.stack([s9, c9, jnp.zeros(B)], -1)], 1)
+    e = np.abs(np.asarray(affine_warp(x, r)) - np.asarray(affine_warp_sep(x, r)))
+    assert e[:, m].max() < 0.05
+
+    g = jax.grad(lambda v: (affine_warp_sep(v, theta) ** 2).sum())(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..attack import Attack, AttackState, softmax_cross_entropy
 from ..gradient.mifgsm import MIFGSM
 from ..models import tap_key
-from ..ops import affine_warp_fast
+from ..ops import affine_warp_fast, affine_warp_sep
 from ..utils import img_max, img_min
 
 
@@ -214,10 +214,14 @@ class TRAP(MIFGSM):
         theta = jnp.stack(
             [jnp.stack([a, b, tx], -1), jnp.stack([c, d, ty], -1)], axis=1
         )
-        # affine_warp_fast: gather-only backward (exact scatter adjoint ran
-        # this attack at 0.65 img/s and is the v5e worker-crash class; the
-        # warp is a random augmentation, so the approximate adjoint —
-        # cosine >0.99 vs exact — is the right trade, BASELINE.md r3)
+        # affine_warp_fast: gather-only backward.  The exact scatter
+        # adjoint ran this attack at 0.65 img/s (v5e worker-crash class);
+        # the r4 gather-free alternative (affine_warp_sep, RQ multi-pass)
+        # was measured and ALSO crashes the worker at 224² — its
+        # full-extent tap windows unroll to ~670 slice ops per pass
+        # (BASELINE.md r4 "TRAP warp experiments").  The gather forward
+        # (~80 ms/iter) is the remaining documented cost; the approximate
+        # adjoint is quantified end-to-end in tests/test_warp_adjoint.py.
         warped = affine_warp_fast(x, theta)
         apply = jax.random.bernoulli(key, self.probb, (1,))[0]
         return jnp.where(apply, warped, x)

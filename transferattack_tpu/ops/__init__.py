@@ -10,6 +10,7 @@ from .image import (  # noqa: F401
     affine_grid,
     affine_warp,
     affine_warp_fast,
+    affine_warp_sep,
     grid_sample,
     resize_bilinear,
     rotate,
@@ -19,6 +20,7 @@ from .image import (  # noqa: F401
     scale_around_center,
     shift_interp,
     translate,
+    translate_scalar,
     translate_sep,
 )
 from .dct import dct_2d, idct_2d  # noqa: F401

@@ -9,6 +9,7 @@ through torch's grid_sample backward.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -89,13 +90,19 @@ def affine_warp_fast(x, theta):
     ``src = N·p + τ`` (normalized coords), ``⟨g, W_N x⟩ = ⟨|det N|⁻¹ ·
     W_{N⁻¹} g, x⟩`` — the cotangent is *inverse-warped*, another gather.
     For bilinear resampling this is approximate at the interpolation-
-    kernel scale (cosine similarity vs the exact adjoint >0.99 on smooth
-    cotangents); every consumer (IR/TRAP's RandomAffine, AITL's affine
-    op, OPS's rotations) uses the warp as a random augmentation whose
-    aggregated gradient sign is what matters.  **No gradient flows to
-    theta** (the parameters are random draws in all consumers); use
-    :func:`affine_warp` where exact autodiff through the warp or theta
-    gradients are required.
+    kernel scale.  Measured (``tests/test_warp_adjoint.py``, r4): with
+    *model-gradient* cotangents at 64² under TRAP's harsh RandomAffine
+    distribution (±90°, scale 0.5–1.5, shear ±30°) per-cotangent cosine
+    vs the exact adjoint is 0.92 mean / 0.78 worst, sign agreement 0.89;
+    pure translations/shears (AITL's ops) are near-exact.  End-to-end the
+    aggregated sign dynamics wash the error out: TRAP fast-vs-exact toy
+    deltas cosine 0.86 with sibling transfer-ASR delta 0.028, AITL
+    bit-identical (BASELINE.md "approximate warp adjoint").  Every
+    consumer (IR/TRAP's RandomAffine, AITL's affine op, OPS's rotations)
+    uses the warp as a random augmentation whose aggregated gradient sign
+    is what matters.  **No gradient flows to theta** (the parameters are
+    random draws in all consumers); use :func:`affine_warp` where exact
+    autodiff through the warp or theta gradients are required.
     """
     return affine_warp(x, theta)
 
@@ -366,6 +373,39 @@ def translate_sep(x, tx, ty, max_shift: int):
     return shift_interp(out, (ty * (H / 2.0))[:, None, None], 1, max_shift)
 
 
+def translate_scalar(x, tx, ty, max_shift: int):
+    """:func:`translate` for a *scalar* (per-call, batch-shared) offset.
+
+    When the shift is one traced scalar — ANDA's per-view translations
+    under ``lax.map``, where every image in the batch shares the view's
+    offset — the 2-tap band of :func:`translate_sep` collapses to four
+    ``dynamic_slice`` reads of a zero-padded copy blended bilinearly:
+    2 + 2 slices instead of ``2·(2·max_shift+2)``.  The backward is
+    ``dynamic_update_slice`` block writes — contiguous DMA, not the
+    scalar-engine scatter-add fault class.  Matches :func:`translate`'s
+    convention (``src = out + t``, zero padding) to float rounding;
+    offsets are clamped to ``±max_shift``.
+    """
+    B, H, W, C = x.shape
+    m = int(max_shift)
+    sx = jnp.clip(jnp.asarray(tx, jnp.float32) * (W / 2.0), -m, m - 1e-3)
+    sy = jnp.clip(jnp.asarray(ty, jnp.float32) * (H / 2.0), -m, m - 1e-3)
+    kx = jnp.floor(sx)
+    ky = jnp.floor(sy)
+    fx = (sx - kx).astype(x.dtype)
+    fy = (sy - ky).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (m, m + 1), (m, m + 1), (0, 0)))
+    kxi = kx.astype(jnp.int32) + m
+    kyi = ky.astype(jnp.int32) + m
+
+    def sl(dy, dx):
+        return jax.lax.dynamic_slice(
+            xp, (0, kyi + dy, kxi + dx, 0), (B, H, W, C))
+
+    return ((1 - fy) * (1 - fx) * sl(0, 0) + (1 - fy) * fx * sl(0, 1)
+            + fy * (1 - fx) * sl(1, 0) + fy * fx * sl(1, 1))
+
+
 def rotate_shear(x, angle, max_angle: float = 0.25):
     """Rotation as the Paeth three-shear decomposition — three gather-free
     :func:`shift_interp` passes instead of a 2-D warp.
@@ -398,6 +438,112 @@ def rotate_shear(x, angle, max_angle: float = 0.25):
     out = shift_interp(x, s_x[:, :, None], 2, Mx)
     out = shift_interp(out, s_y[:, None, :], 1, My)
     return shift_interp(out, s_x[:, :, None], 2, Mx)
+
+
+def affine_warp_sep(x, theta):
+    """:func:`affine_warp` as gather-free 1-D resample passes.
+
+    Factors the sampling map ``src = N·p + τ`` (torch affine_grid
+    convention, per-image (B, 2, 3) theta) as ``N = R·T`` (Givens RQ:
+    rotation × upper-triangular), then
+
+    1. embeds the image in a 1.5×-padded canvas (so no intermediate pass
+       loses content — the classic multi-pass "bottleneck");
+    2. applies the rotation as an exact per-image rot90·k (4-way select of
+       transpose/flips) plus a ≤45° residual via the Paeth three-shear
+       decomposition (:func:`rotate_shear`'s form);
+    3. applies ``T`` as two triangular passes whose intermediate
+       coordinates *are* the final source coordinates (no bottleneck):
+       a y-resample ``src_y = t22·y + τ'_y`` (``t22 < 0`` handled by an
+       exact flip select) and an x-resample ``src_x = t11·x + t12·y +
+       τ'_x``, with ``τ' = Rᵀτ``;
+    4. crops the center back to (H, W).
+
+    Every resample is :func:`shift_interp`, so forward AND backward are
+    pads, slices, and multiply-adds — no gather and no scatter-add (the
+    v5e worker-crash class).  Same coordinate map as grid_sample,
+    per-pass linear interpolation rather than direct bilinear
+    (pixel-level differences at the interpolation-kernel scale, like
+    :func:`rotate_shear`).  Square images only (the rot90 pivot needs
+    H == W); keep :func:`affine_warp` elsewhere.
+
+    **Cost caveat (measured, r4)**: the triangular passes need
+    full-extent tap windows for wide scale ranges, and
+    :func:`shift_interp` unrolls ``2·M+2`` static slices — at 224²
+    (padded 336) that is ~670 slice ops per pass, which blew up the HLO
+    and crashed the TPU worker when wired into TRAP's 300-iteration scan
+    (BASELINE.md r4 "TRAP warp experiments").  Use at toy/medium
+    resolutions or with narrow parameter ranges; TRAP keeps
+    :func:`affine_warp_fast`.
+    """
+    B, H, W, _ = x.shape
+    assert H == W, "affine_warp_sep: rot90 pivot requires square images"
+    S = H
+    th = theta.astype(jnp.float32)
+    N = th[:, :, :2]
+    # centered-pixel translation: src_cpx = N·p_cpx + τ·S/2 exactly
+    tau = th[:, :, 2] * (S / 2.0)
+
+    # Givens RQ on the first column: N = R(phi)·T, t11 ≥ 0
+    a11, a12 = N[:, 0, 0], N[:, 0, 1]
+    a21, a22 = N[:, 1, 0], N[:, 1, 1]
+    t11 = jnp.sqrt(a11 * a11 + a21 * a21) + 1e-12
+    c, s = a11 / t11, a21 / t11
+    phi = jnp.arctan2(a21, a11)
+    t12 = c * a12 + s * a22
+    t22 = -s * a12 + c * a22
+    tpx = c * tau[:, 0] + s * tau[:, 1]   # τ' = Rᵀ τ
+    tpy = -s * tau[:, 0] + c * tau[:, 1]
+
+    # ---- padded canvas ----------------------------------------------------
+    Sp = int(math.ceil(S * 0.75)) * 2  # 1.5×, even
+    pad = (Sp - S) // 2
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (pad, Sp - S - pad), (pad, Sp - S - pad), (0, 0)))
+
+    # ---- exact rot90·k, residual |phi_r| ≤ π/4 ---------------------------
+    k = jnp.round(phi / (jnp.pi / 2.0))
+    phi_r = phi - k * (jnp.pi / 2.0)
+    ki = jnp.mod(k.astype(jnp.int32), 4)
+    # in(R_k q) for q in centered pixels: R_k rotates the sampling grid by
+    # k·90° CCW in (x, y); on the index grid that is the inverse image
+    # rotation — select the exactly-permuted copy per image.
+    r1 = jnp.flip(jnp.swapaxes(xp, 1, 2), 1)   # in(R₁q): [i,j] ← in[j, -i]
+    r2 = jnp.flip(xp, (1, 2))                  # in(R₂q): [i,j] ← in[-i, -j]
+    r3 = jnp.flip(jnp.swapaxes(xp, 1, 2), 2)   # in(R₃q): [i,j] ← in[-j, i]
+    kb = ki[:, None, None, None]
+    g = jnp.where(kb == 1, r1, jnp.where(kb == 2, r2,
+                                         jnp.where(kb == 3, r3, xp)))
+
+    # residual rotation: Paeth three shears (coordinate map of R(phi_r))
+    cp = (jnp.arange(Sp, dtype=jnp.float32) + 0.5) - Sp / 2.0  # centered px
+    alpha = -jnp.tan(phi_r / 2.0)
+    beta = jnp.sin(phi_r)
+    Mx = int(math.ceil(math.tan(math.pi / 8.0) * Sp / 2.0)) + 1
+    My = int(math.ceil(math.sin(math.pi / 4.0) * Sp / 2.0)) + 1
+    sx_ = alpha[:, None] * cp[None, :]  # (B, Sp) by row (y)
+    sy_ = beta[:, None] * cp[None, :]   # (B, Sp) by column (x)
+    g = shift_interp(g, sx_[:, :, None], 2, Mx)
+    g = shift_interp(g, sy_[:, None, :], 1, My)
+    g = shift_interp(g, sx_[:, :, None], 2, Mx)
+
+    # ---- triangular passes (intermediates = final coordinates) -----------
+    # y-pass: src_y = t22·y + τ'_y; negative t22 via exact flip of g
+    neg = t22 < 0
+    gf = jnp.flip(g, 1)
+    g = jnp.where(neg[:, None, None, None], gf, g)
+    a22p = jnp.abs(t22)
+    typ = jnp.where(neg, -tpy, tpy)
+    s1 = (a22p - 1.0)[:, None] * cp[None, :] + typ[:, None]     # (B, Sp)
+    g = shift_interp(g, s1[:, :, None], 1, Sp)
+    # x-pass: src_x = t11·x + t12·y + τ'_x (y here is the OUTPUT row
+    # coordinate — the flip above only re-expresses g inside the y-pass)
+    s2 = ((t11 - 1.0)[:, None, None] * cp[None, None, :]
+          + t12[:, None, None] * cp[None, :, None]
+          + tpx[:, None, None])                                 # (B, Sp, Sp)
+    g = shift_interp(g, s2, 2, Sp)
+
+    return g[:, pad:pad + S, pad:pad + S, :].astype(x.dtype)
 
 
 def warp_field_sep(x, dx, dy, max_x: int, max_y: int, zero_beyond=False):
