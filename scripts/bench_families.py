@@ -43,6 +43,9 @@ CASES = [
      "mixup per iter"),
     ("dra", "resnet50", {}, "checkpoint-surrogate family shape (DRA "
      "fine-tuned weights; random fallback offline) = mifgsm compute"),
+    ("trap", "resnet50", {}, "300-epoch two-phase; gather-forward "
+     "RandomAffine view each enhance iter (see BASELINE.md warp "
+     "experiments)"),
     ("vdc", "vit_base_patch16_224", {}, "ViT virtual dense connection: "
      "attn+mlp cotangent injections"),
 ]

@@ -463,3 +463,138 @@ def test_bsr_rotation_matches_direct_bilinear():
     assert err < 0.01, f"rotation interior error {err:.4f}"
     # and it is a real rotation, not a near-identity
     assert np.abs(out - x)[:, 8:-8, 8:-8, :].mean() > 0.05
+
+
+def test_emifgsm_bar_grad_loop_parity():
+    """EMI-FGSM full trajectory (``gradient/emifgsm.py:75-106``): the
+    num_sample points along the PREVIOUS iteration's l1-normalized gradient
+    (bar_grad starts at 0 → first iteration samples the center num_sample
+    times), batch-concat logits, MI momentum.  Fully deterministic."""
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(31)
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay, epoch = 16 / 255, 1.6 / 255, 1.0, 10
+    n_sample, radius = 5, 7.0
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    bar_grad = torch.zeros_like(xt)
+    factors = np.linspace(-radius, radius, n_sample)
+    for _ in range(epoch):
+        pts = torch.cat([xt + delta + float(f) * alpha * bar_grad
+                         for f in factors])
+        loss = tnn.functional.cross_entropy(
+            torch_forward(tmodel, pts), yt.repeat(n_sample))
+        grad = torch.autograd.grad(loss, delta)[0]
+        bar_grad = _mi_normalize(grad).detach()
+        momentum = decay * momentum + _mi_normalize(grad)
+        d = torch.clamp(delta.data + alpha * momentum.sign(), -eps, eps)
+        delta = (torch.clamp(xt + d, 0, 1) - xt).requires_grad_(True)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("emifgsm")(
+        model_name="resnet18", pretrained=False, input_size=64,
+        num_sample=n_sample, radius=radius, epoch=epoch)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.98, f"EMI-FGSM delta sign agreement {agree:.4f}"
+
+
+def test_aifgtm_adam_tanh_loop_parity():
+    """AI-FGTM full trajectory (``gradient/aifgtm.py:60-106``): mu-scaled
+    first/second moment accumulators, the bias-correction alpha schedule
+    summing to eps, and the lam-scaled tanh step.  Deterministic."""
+    import math
+
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(32)
+    rng = np.random.RandomState(12)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, epoch = 16 / 255, 10
+    b1, b2, lam, mu1, mu2 = 0.9, 0.99, 1.3, 1.5, 1.9
+
+    corr = [(1 - b1 ** (t + 1)) / math.sqrt(1 - b2 ** (t + 1))
+            for t in range(epoch)]
+    alphas = [eps / sum(corr) * c for c in corr]
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    v = torch.zeros_like(xt)
+    for t in range(epoch):
+        loss = tnn.functional.cross_entropy(
+            torch_forward(tmodel, xt + delta), yt)
+        grad = torch.autograd.grad(loss, delta)[0]
+        momentum = momentum + mu1 * grad
+        v = v + mu2 * grad * grad
+        direction = lam * momentum / (v.sqrt() + 1e-20)
+        d = torch.clamp(delta.data + alphas[t] * direction.tanh(), -eps, eps)
+        # reference clamps to the image box only (update_delta, aifgtm.py:57)
+        delta = (torch.clamp(xt + d, 0, 1) - xt).requires_grad_(True)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("aifgtm")(
+        model_name="resnet18", pretrained=False, input_size=64, epoch=epoch)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.95, f"AI-FGTM delta sign agreement {agree:.4f}"
+    # tanh steps: the delta must NOT be a pure ±eps staircase
+    interior = (np.abs(ours) > 1e-6) & (np.abs(np.abs(ours) - eps) > 1e-4)
+    assert interior.mean() > 0.1
+
+
+def test_smifgrm_rescaled_momentum_loop_parity():
+    """SMI-FGRM full trajectory (``gradient/smifgrm.py:45-102``) at beta=0:
+    the depth-first walk collapses to num_neighbor center evaluations,
+    leaving the log2-rescale applied to the STORED momentum (the reference
+    reassigns momentum = rescale(momentum) before the sign step, so the
+    next iteration accumulates from the rescaled value)."""
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(33)
+    rng = np.random.RandomState(14)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay, epoch, factor = 16 / 255, 1.6 / 255, 1.0, 10, 2.0
+    n_nb = 3
+
+    def rescale(g):
+        la = (g.abs() + 1e-38).log2()
+        mean = la.mean(dim=(1, 2, 3), keepdim=True)
+        std = la.std(dim=(1, 2, 3), keepdim=True)
+        return factor * g.sign() * torch.sigmoid((la - mean) / (std + 1e-12))
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    for _ in range(epoch):
+        grad = 0
+        for _ in range(n_nb):  # beta=0: every walk point is the center
+            loss = tnn.functional.cross_entropy(
+                torch_forward(tmodel, xt + delta), yt)
+            grad = grad + torch.autograd.grad(loss, delta)[0]
+        grad = grad / n_nb
+        momentum = decay * momentum + _mi_normalize(grad)
+        momentum = rescale(momentum)
+        d = torch.clamp(delta.data + alpha * momentum.sign(), -eps, eps)
+        delta = (torch.clamp(xt + d, 0, 1) - xt).requires_grad_(True)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("smifgrm")(
+        model_name="resnet18", pretrained=False, input_size=64,
+        beta=0.0, num_neighbor=n_nb, epoch=epoch)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.98, f"SMI-FGRM delta sign agreement {agree:.4f}"
