@@ -74,29 +74,36 @@ def main():
         try:
             atk = ta.load_attack_class(key)(
                 model_name=model, compute_dtype="bfloat16", **kwargs)
+            # honor the attack's documented device-fault batch cap the same
+            # way main.py does (e.g. DeCowA's TPS double-grad faults the v5e
+            # worker at batch 32 bfloat16 -- decowa.py requires_batchsize)
+            batch = min(args.batch,
+                        getattr(atk, "requires_batchsize", args.batch)
+                        or args.batch)
+            xb, yb = x[:batch], y[:batch]
             run = jax.jit(atk.run)
             v = atk.model.variables
             # targeted attacks consume (source, target) label pairs
-            yk = jnp.stack([y, (y + 7) % 1000], 1) if atk.targeted else y
+            yk = jnp.stack([yb, (yb + 7) % 1000], 1) if atk.targeted else yb
             yk = atk.prepare_labels(yk)
             t0 = time.perf_counter()
-            _ = float(run(v, x, yk, jax.random.PRNGKey(9)).sum())
+            _ = float(run(v, xb, yk, jax.random.PRNGKey(9)).sum())
             compile_s = time.perf_counter() - t0
             # calibrate reps for >=10s of device work so the ~1s tunnel
             # round-trip cannot dominate the measurement
             t0 = time.perf_counter()
-            _ = float(run(v, x, yk, jax.random.PRNGKey(10)).sum())
+            _ = float(run(v, xb, yk, jax.random.PRNGKey(10)).sum())
             est = time.perf_counter() - t0
             reps = max(args.reps, int(10.0 / max(est, 1e-3)) + 1)
             t0 = time.perf_counter()
-            outs = [run(v, x, yk, jax.random.PRNGKey(i)).sum()
+            outs = [run(v, xb, yk, jax.random.PRNGKey(i)).sum()
                     for i in range(reps)]
             _ = float(jnp.stack(outs).sum())
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "attack": key, "note": note,
-                "img_per_sec": round(args.batch * reps / dt, 2),
-                "batch": args.batch, "reps": reps,
+                "img_per_sec": round(batch * reps / dt, 2),
+                "batch": batch, "reps": reps,
                 "compile_s": round(compile_s, 1),
             }), flush=True)
         except Exception as exc:

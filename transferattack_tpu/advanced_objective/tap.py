@@ -55,7 +55,10 @@ class TAP(Attack):
             pooled = nn.avg_pool(
                 x - xadv, (self.s, self.s), strides=(self.s, self.s)
             )
-            l3 = self.yita * jnp.sum(jnp.abs(pooled))
+            # p*sign(p) == |p| but with torch's |.| subgradient (0 at 0):
+            # jnp.abs differentiates to 1 at exactly 0, which would bias the
+            # very first step (delta==0 -> pooled==0) away from the reference
+            l3 = self.yita * jnp.sum(pooled * jnp.sign(pooled))
             total = l1 + l2 + l3
             return -total if self.targeted else total
 

@@ -193,33 +193,49 @@ class AdaEA(_MultiModelAttack):
         xadv = x + state.delta
         grads = [self.member_grad(mvars, xadv, y, k) for k in range(self.K)]
 
-        # adaptive gradient modulation (``adaea.py:70-90``)
-        w = []
-        for j in range(self.K):
-            adv_j = jnp.clip(
-                jnp.clip(xadv + self.eps * jnp.sign(grads[j]), x - self.eps, x + self.eps),
+        # adaptive gradient modulation (``adaea.py:90-113``): each member's
+        # one-ALPHA-step example adv_j, scored by every other member i and
+        # normalized by member i's loss on ITS OWN example adv_i
+        # (``loss_self[i]`` at ``adaea.py:109``)
+        adv = [
+            jnp.clip(
+                x + jnp.clip(
+                    xadv + self.alpha * jnp.sign(grads[j]) - x,
+                    -self.eps, self.eps,
+                ),
                 img_min, img_max,
             )
+            for j in range(self.K)
+        ]
+        loss_self = [
+            softmax_cross_entropy(self.member_logits(mvars, adv[i], i), y).mean()
+            for i in range(self.K)
+        ]
+        w = []
+        for j in range(self.K):
             wj = 0.0
             for i in range(self.K):
                 if i == j:
                     continue
                 ce_ij = softmax_cross_entropy(
-                    self.member_logits(mvars, adv_j, i), y
+                    self.member_logits(mvars, adv[j], i), y
                 ).mean()
-                ce_self = softmax_cross_entropy(
-                    self.member_logits(mvars, adv_j, j), y
-                ).mean()
-                wj = wj + ce_ij / (ce_self + 1e-12) * self.beta
+                wj = wj + ce_ij / (loss_self[i] + 1e-12) * self.beta
             w.append(wj)
         alpha_w = jax.nn.softmax(jnp.stack(w))
 
-        # disparity-reduced filter: mean pairwise channel-cosine per pixel
+        # disparity-reduced filter: mean pairwise channel-cosine per pixel.
+        # The reference's row loop (``adaea.py:115-137``) guards the row
+        # write with a stale inner-loop ``j``, so the LAST model's row is
+        # never written and stays zero — replicated here for parity.
         def channel_norm(g):
             return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-8)
 
         sims = []
         for i in range(self.K):
+            if i == self.K - 1:
+                sims.append(jnp.zeros(x.shape[:-1], x.dtype))
+                continue
             acc = 0.0
             for j in range(self.K):
                 if i == j:

@@ -81,9 +81,11 @@ def ssim(a, b, c1=0.01**2, c2=0.03**2):
 
 
 def total_variation(t):
-    tv_h = jnp.sum(jnp.abs(t[:, 1:, :, :] - t[:, :-1, :, :]))
-    tv_w = jnp.sum(jnp.abs(t[:, :, 1:, :] - t[:, :, :-1, :]))
-    return tv_h + tv_w
+    # d*sign(d) == |d| with torch's |.| subgradient (0 at 0): a flat mask
+    # init would otherwise pick up jnp.abs's unit derivative at exactly 0
+    dh = t[:, 1:, :, :] - t[:, :-1, :, :]
+    dw = t[:, :, 1:, :] - t[:, :, :-1, :]
+    return jnp.sum(dh * jnp.sign(dh)) + jnp.sum(dw * jnp.sign(dw))
 
 
 class RFCoA(_MultiModelAttack):

@@ -30,7 +30,6 @@ class AdaMSI_FGM(MIFGSM):
         return {
             "v": jnp.zeros_like(x),
             "s_prev": jnp.zeros((x.shape[0],), x.dtype),
-            "delta_prev": jnp.zeros_like(x),
         }
 
     def step(self, variables, x, y, state: AttackState):
@@ -48,14 +47,15 @@ class AdaMSI_FGM(MIFGSM):
         # V_hat = sqrt(v) + 1e-16/sqrt(t)  (precedence keeps the eps term tiny)
         V_hat = jnp.sqrt(v) + 1e-16 / jnp.sqrt(t)
         shape1 = (-1,) + (1,) * (x.ndim - 1)
-        momentum = state.momentum * self.decay + beta1_t.reshape(shape1) * (
-            state.delta - state.extra["delta_prev"]
-        )
+        # the reference's (x0 + delta - x_prev) term: x_prev is assigned once
+        # (``adamsi_fgm.py:67``) and never updated, so it is literally the
+        # CURRENT delta, not a delta difference
+        momentum = state.momentum * self.decay + beta1_t.reshape(shape1) * state.delta
         momentum = grad / V_hat + momentum
 
         delta = jnp.clip(state.delta + self.alpha * momentum, -self.eps, self.eps)
         delta = jnp.clip(x + delta, img_min, img_max) - x
         return state.replace(
             delta=delta, momentum=momentum, key=key, step=state.step + 1,
-            extra={"v": v, "s_prev": s_t, "delta_prev": state.delta},
+            extra={"v": v, "s_prev": s_t},
         )
