@@ -31,8 +31,8 @@ CASES = [
      "dict grads per iter -> ~25x mifgsm bound"),
     ("decowa", "resnet50", {}, "20 elastic warps x (1+rho-step grad) per "
      "iter, host TPS solve -> ~40x bound"),
-    ("mef", "resnet50", {}, "20 neighbors x 2-point lookahead x 20 epochs "
-     "-> ~84x mifgsm bound"),
+    ("mef", "resnet50", {}, "20 neighbors x 20 epochs = 400 passes "
+     "-> ~40x mifgsm bound"),
     ("fgsra", "resnet50", {}, "20 freq-domain neighbors (DCT mask+noise) "
      "-> ~21x bound"),
     ("cfm", "resnet50", {}, "targeted T=300 protocol, 2 mixed copies via "

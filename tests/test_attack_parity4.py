@@ -257,3 +257,152 @@ def test_smer_weight_chain_loop_parity():
     ours = np.asarray(atk(x, y))
     agree = (np.sign(ref) == np.sign(ours)).mean()
     assert agree > 0.95, f"SMER delta sign agreement {agree:.4f}"
+
+
+def test_fuzziness_tuned_loop_parity():
+    """Fuzziness-tuned full trajectory (``advanced_objective/
+    fuzziness_tuned.py:33-80``): the true-class logit scaled by K=0.8, all
+    logits temperature-divided by T=2 before CE, MI momentum.
+    Deterministic."""
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(57)
+    rng = np.random.RandomState(57)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay, epoch = 16 / 255, 1.6 / 255, 1.0, 10
+    K, T = 0.8, 2.0
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    for _ in range(epoch):
+        logits = torch_forward(tmodel, xt + delta).clone()
+        idx = torch.arange(2)
+        logits[idx, yt] = logits[idx, yt] * K
+        logits = logits / T
+        loss = F.cross_entropy(logits, yt)
+        grad = torch.autograd.grad(loss, delta)[0]
+        momentum = decay * momentum + _mi_normalize(grad)
+        delta = _box_step(xt, delta, momentum.sign(), alpha, eps)
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("fuzziness_tuned")(
+        model_name="resnet18", pretrained=False, input_size=64, epoch=epoch)
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.98, f"Fuzziness-tuned delta sign agreement {agree:.4f}"
+
+
+def test_naa_attribution_loop_parity():
+    """NAA full trajectory (``advanced_objective/naa.py:62-110``): feature
+    cotangents aggregated over the straight path i/N from black (N probes,
+    softmax-prob loss), baseline feature at the black image, attribution
+    loss ((feat-base)*agg).sum(), raw NEGATED sign steps (no momentum).
+    Deterministic."""
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(58)
+    rng = np.random.RandomState(58)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, epoch, N = 16 / 255, 1.6 / 255, 8, 4
+
+    captured = {}
+    h = tmodel.layer1.register_forward_hook(
+        lambda m, i, o: captured.__setitem__("feat", o))
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    agg = 0.0
+    for i in range(N):
+        xm = (xt * i / N).requires_grad_(True)
+        probs = F.softmax(torch_forward(tmodel, xm), dim=1)
+        loss = probs[torch.arange(2), yt].sum()
+        g = torch.autograd.grad(loss, captured["feat"])[0]
+        agg = agg + g
+    agg = (agg / N).detach()
+
+    with torch.no_grad():
+        _ = torch_forward(tmodel, torch.zeros_like(xt))
+        y_base = captured["feat"].clone()
+
+    delta = torch.zeros_like(xt, requires_grad=True)
+    for _ in range(epoch):
+        _ = torch_forward(tmodel, xt + delta)
+        loss = ((captured["feat"] - y_base) * agg).sum()
+        grad = torch.autograd.grad(loss, delta)[0]
+        delta = _box_step(xt, delta, (-grad).sign(), alpha, eps)
+    h.remove()
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("naa")(
+        model_name="resnet18", pretrained=False, input_size=64,
+        epoch=epoch, N=N, feature_layer="layer1")
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.97, f"NAA delta sign agreement {agree:.4f}"
+
+
+def test_danaa_adversarial_path_loop_parity():
+    """DANAA full trajectory (``advanced_objective/danaa.py:83-150``) at
+    scale=0 (noise-free path, leaving the lr-sign adversarial walk live):
+    feature cotangents summed along the walked path, NEGATED + per-sample
+    L2-normalized aggregate, baseline feature at the FINAL walked point,
+    balanced attribution mean, +momentum sign steps.  Pins the r4 rewrite
+    against the reference."""
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(59)
+    rng = np.random.RandomState(59)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (2,)).astype(np.int32)
+    eps, alpha, decay, epoch = 16 / 255, 1.6 / 255, 1.0, 8
+    N, lr, gamma = 4, 0.0025, 1.0
+
+    captured = {}
+    h = tmodel.layer2.register_forward_hook(
+        lambda m, i, o: captured.__setitem__("feat", o))
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    x_t = xt.clone()
+    agg = 0.0
+    for _ in range(N):
+        xm = x_t.clone().requires_grad_(True)
+        probs = F.softmax(torch_forward(tmodel, xm), dim=1)
+        loss = probs[torch.arange(2), yt].sum()
+        g_feat = torch.autograd.grad(loss, captured["feat"],
+                                     retain_graph=True)[0]
+        g_in = torch.autograd.grad(loss, xm)[0]
+        x_t = x_t + lr * g_in.sign()
+        agg = agg + g_feat
+    agg = -(agg / agg.pow(2).sum(dim=(1, 2, 3), keepdim=True).sqrt()).detach()
+
+    with torch.no_grad():
+        _ = torch_forward(tmodel, x_t)
+        y_base = captured["feat"].clone()
+
+    delta = torch.zeros_like(xt, requires_grad=True)
+    momentum = torch.zeros_like(xt)
+    for _ in range(epoch):
+        _ = torch_forward(tmodel, xt + delta)
+        attribution = (captured["feat"] - y_base) * agg
+        balanced = torch.where(attribution >= 0, attribution,
+                               gamma * attribution)
+        grad = torch.autograd.grad(balanced.mean(), delta)[0]
+        momentum = decay * momentum + _mi_normalize(grad)
+        delta = _box_step(xt, delta, momentum.sign(), alpha, eps)
+    h.remove()
+    ref = delta.detach().numpy()
+
+    atk = ta.load_attack_class("danaa")(
+        model_name="resnet18", pretrained=False, input_size=64,
+        epoch=epoch, N=N, scale=0.0, feature_layer="layer2")
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = (np.sign(ref) == np.sign(ours)).mean()
+    assert agree > 0.95, f"DANAA delta sign agreement {agree:.4f}"

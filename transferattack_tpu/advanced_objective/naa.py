@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..attack import AttackState
 from ..models import tap_key
 from .fia import FIA
 
@@ -41,15 +40,19 @@ class NAA(FIA):
         # straight path from the black baseline (``naa.py:76-78``)
         return x * (i / self.N)
 
-    def run(self, variables, x, y, key):
-        key, kagg = jax.random.split(key)
-        agg_grad = jax.lax.stop_gradient(
-            self.aggregate_grad(variables, x, y, kagg)
-        )
-        # baseline feature at the black image (``naa.py:100-103``)
+    def baseline_and_agg(self, variables, x, y, key):
+        """NAA: path-aggregated feature cotangent (/N) + the feature of the
+        black image as baseline (``naa.py:92-97``).  DANAA overrides both."""
+        agg = self.aggregate_grad(variables, x, y, key)
         _, y_prime = self.model.feature(
             variables, jnp.zeros_like(x), self.feature_layer
         )
+        return agg, y_prime
+
+    def run(self, variables, x, y, key):
+        key, kagg = jax.random.split(key)
+        agg_grad, y_prime = self.baseline_and_agg(variables, x, y, kagg)
+        agg_grad = jax.lax.stop_gradient(agg_grad)
         y_prime = jax.lax.stop_gradient(y_prime)
 
         state = self.init_state(x, y, key)
@@ -95,19 +98,27 @@ class NAA(FIA):
 
 
 class DANAA(NAA):
-    """DANAA (``danaa.py``): adversarial non-linear path — each sample point
-    steps along its own feature-gradient sign before probing.  Unlike
-    FIA/NAA, DANAA DOES accumulate momentum and steps with ``+momentum``
-    (``danaa.py:144-148``), over the balanced attribution mean
-    (``danaa.py:63-80``, gamma=1)."""
+    """DANAA (``danaa.py:36-150``): adversarial non-linear path — each of the
+    num_ens probes evaluates the softmax-prob loss at x_t + N(0, scale²)
+    noise, captures the feature cotangent there, and walks x_t by
+    lr·sign(input grad).  The aggregate is NEGATED and per-sample
+    L2-normalized (``danaa.py:125``); the baseline feature is taken at the
+    FINAL walked point x_t, not the black image (``danaa.py:129-131``).
+    Unlike FIA/NAA, DANAA accumulates momentum and steps with ``+momentum``
+    (``danaa.py:134-150``) over the balanced attribution mean (gamma=1,
+    ``danaa.py:63-80``)."""
 
     use_momentum = True
     step_sign = 1.0
 
-    def __init__(self, *args, scale_inv=0.6, gamma=1.0, attack="DANAA", **kwargs):
+    def __init__(self, *args, scale=0.25, lr=0.0025, gamma=1.0,
+                 feature_layer="layer2", attack="DANAA", **kwargs):
         kwargs["attack"] = attack
+        kwargs["feature_layer"] = feature_layer
+        kwargs.pop("scale_inv", None)  # pre-r4 arg name
         super().__init__(*args, **kwargs)
-        self.scale_inv = float(scale_inv)
+        self.scale = float(scale)
+        self.lr = float(lr)
         self.gamma = float(gamma)
 
     def attribution_loss(self, feat, y_prime, agg_grad):
@@ -117,23 +128,32 @@ class DANAA(NAA):
         loss = jnp.mean(balanced)
         return -loss if self.targeted else loss
 
-    def aggregate_grad(self, variables, x, y, key):
+    def prob_input_grad(self, variables, point, y):
+        """d(sum softmax-prob of y)/d(input) — the reference's x_grad
+        (``danaa.py:110-117``)."""
+
+        def loss(p):
+            probs = jax.nn.softmax(self.model.apply(variables, p), axis=-1)
+            return jnp.take_along_axis(probs, y[:, None], axis=1).sum()
+
+        return jax.grad(loss)(point)
+
+    def baseline_and_agg(self, variables, x, y, key):
         keys = jax.random.split(key, self.N)
         feat_shape = self.model.feature_shape(x.shape, self.feature_layer)
 
         def body(carry, k):
             acc, xt = carry
-            g_in = self.input_grad(
-                variables, xt, y,
-                AttackState(delta=jnp.zeros_like(x), momentum=jnp.zeros_like(x),
-                            key=k, step=jnp.zeros((), jnp.int32), extra={}),
-                k,
-            )
-            xt = xt + self.scale_inv * self.alpha * jnp.sign(g_in)
-            g = self.feature_grad(variables, xt, y)
-            return (acc + g, xt), None
+            point = xt + self.scale * jax.random.normal(k, x.shape, x.dtype)
+            g_feat = self.feature_grad(variables, point, y)
+            g_in = self.prob_input_grad(variables, point, y)
+            xt = xt + self.lr * jnp.sign(g_in)
+            return (acc + g_feat, xt), None
 
-        (agg, _), _ = jax.lax.scan(
+        (agg, xt), _ = jax.lax.scan(
             body, (jnp.zeros(feat_shape, x.dtype), x), keys
         )
-        return agg / self.N
+        axes = tuple(range(1, agg.ndim))
+        agg = -agg / (jnp.sqrt(jnp.sum(agg**2, axis=axes, keepdims=True)) + 1e-12)
+        _, y_base = self.model.feature(variables, xt, self.feature_layer)
+        return agg, y_base
