@@ -17,11 +17,12 @@ from ..attack import Attack, AttackState
 
 
 class AA(Attack):
-    """Official args (``aa.py``): layer_name='layer2', targeted protocol."""
+    """Official args (``aa.py:29-31``): layer_name='layer2', targeted
+    protocol at alpha=2/255, epoch=300, decay=1."""
 
     host_state = True  # __call__ does host-side label/anchor prep
 
-    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=1.6 / 255,
+    def __init__(self, model_name="resnet50", epoch=300, eps=16 / 255, alpha=2 / 255,
                  decay=1.0, layer_name="layer2", input_dir="./data", targeted=True,
                  random_start=False, norm="linfty", loss="crossentropy",
                  attack="AA", **kwargs):

@@ -65,9 +65,10 @@ class ILA(Attack):
 
 class ILPD(MIFGSM):
     """ILPD (``ilpd.py:28-70``): tap at layer2.3 mixes γ=0.1 of the live
-    feature with the σ=0.05-noised clean feature; alpha=1/255."""
+    feature with the σ=0.05-noised clean feature; the reference hardcodes
+    alpha=1/255 and epoch=100 (``ilpd.py:31-34``)."""
 
-    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, decay=1.0,
+    def __init__(self, model_name="resnet50", epoch=100, eps=16 / 255, decay=1.0,
                  sigma=0.05, coef=0.1, feature_layer="layer2.3", targeted=False,
                  random_start=False, norm="linfty", loss="crossentropy",
                  attack="ILPD", **kwargs):

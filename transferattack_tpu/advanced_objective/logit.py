@@ -50,32 +50,39 @@ class LOGIT(Attack):
 
 
 class Logit_Margin(LOGIT):
-    """Logit-margin (``logit_margin.py``): temperature-scaled margin between
-    the target logit and the best other logit."""
+    """Logit-margin (``logit_margin.py:105-118``): downscale the logits by a
+    per-sample detached scale, then cross-entropy toward the target.
 
-    def __init__(self, *args, temperature=5.0, margin_type="dynamic",
+    The reference hardcodes ``loss_type='Margin-based'`` (``logit_margin.py:40``)
+    — scale = top1 − top2 of the sorted logits — with 'Temperature-based'
+    (scale = constant ``temperature``) as the documented alternative; both
+    are implemented here (the unused 'Angle-based' branch is not).
+    """
+
+    def __init__(self, *args, temperature=5.0, loss_type="Margin-based",
                  attack="Logit_Margin", **kwargs):
         kwargs["attack"] = attack
         super().__init__(*args, **kwargs)
         self.temperature = float(temperature)
-        self.margin_type = margin_type
+        if loss_type not in ("Margin-based", "Temperature-based"):
+            raise ValueError(f"unsupported loss_type {loss_type!r}")
+        self.loss_type = loss_type
 
     def get_loss(self, logits, y):
+        from ..attack import softmax_cross_entropy
+
         lg = logits.reshape((-1,) + logits.shape[2:])
         yb = jnp.broadcast_to(y[None], (logits.shape[0], y.shape[0])).reshape(-1)
-        tgt = jnp.take_along_axis(lg, yb[:, None], axis=1)[:, 0]
-        masked = lg - 1e9 * jax.nn.one_hot(yb, lg.shape[-1], dtype=lg.dtype)
-        top_other = masked.max(axis=-1)
-        if self.margin_type == "dynamic":
-            # temperature from the current margin scale (downscaling trick)
-            scale = jax.lax.stop_gradient(
-                jnp.maximum(jnp.abs(top_other - tgt).mean(), 1.0)
-            )
-        else:
-            scale = self.temperature
-        margin = (tgt - top_other) / scale
-        total = margin.sum()
-        return total if self.targeted else -total
+        if self.loss_type == "Temperature-based":
+            scaled = lg / self.temperature
+        else:  # Margin-based: per-sample detached top1−top2 downscaling
+            v = jax.lax.top_k(lg, 2)[0]
+            scale = jax.lax.stop_gradient(v[:, 0] - v[:, 1])[:, None]
+            scaled = lg / scale
+        ce = softmax_cross_entropy(scaled, yb).mean()
+        # the engine ascends get_loss; reference get_loss is −CE when
+        # targeted (``attack.py:137-143``) ascended by update_delta
+        return -ce if self.targeted else ce
 
 
 class POTRIP(LOGIT):

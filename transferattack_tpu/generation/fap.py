@@ -62,10 +62,10 @@ def zigzag_lowfreq_mask(block: int, top_n: int) -> np.ndarray:
 
 
 class FAP(Attack):
-    """Official args (``fap.py:44-68``): top_n=64, block=8, eps scaled by
-    192/top_n, alpha=eps/epoch."""
+    """Official args (``fap.py:44-76``): top_n=64, block=8, epoch=20, eps
+    scaled by 192/top_n, alpha=eps/epoch."""
 
-    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, alpha=None,
+    def __init__(self, model_name="resnet50", epoch=20, eps=16 / 255, alpha=None,
                  decay=1.0, top_n=64, block_size=8, bg_dir=None, bg_num=100,
                  targeted=False, random_start=False, norm="linfty",
                  loss="crossentropy", attack="FAP", **kwargs):

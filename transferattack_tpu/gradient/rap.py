@@ -23,8 +23,8 @@ class RAP(Attack):
 
     def __init__(self, model_name="resnet50", epoch=400, eps=16 / 255, alpha=2 / 255,
                  transpoint=100, epsilon_n=16 / 255, alpha_n=2 / 255, adv_steps=8,
-                 targeted=False, random_start=False, norm="linfty",
-                 loss="crossentropy", attack="RAP", **kwargs):
+                 inner_random_start=True, targeted=False, random_start=False,
+                 norm="linfty", loss="crossentropy", attack="RAP", **kwargs):
         kwargs.pop("decay", None)
         super().__init__(model_name, epoch=epoch, eps=eps, alpha=alpha, decay=1.0,
                          targeted=targeted, random_start=random_start, norm=norm,
@@ -33,13 +33,20 @@ class RAP(Attack):
         self.epsilon_n = float(epsilon_n)
         self.alpha_n = float(alpha_n)
         self.adv_steps = int(adv_steps)
+        # the reference hardcodes init_n_rap(random_start=True) (rap.py:88);
+        # False zeroes the inner init for deterministic parity twins
+        self.inner_random_start = bool(inner_random_start)
 
     def get_n_rap(self, variables, point, y, state, key):
         """Inner maximization of the *negated* attack loss (``rap.py:91-107``)."""
         k0, kloop = jax.random.split(key)
-        n_rap = jax.random.uniform(
-            k0, point.shape, point.dtype, minval=-self.epsilon_n, maxval=self.epsilon_n
-        )
+        if self.inner_random_start:
+            n_rap = jax.random.uniform(
+                k0, point.shape, point.dtype,
+                minval=-self.epsilon_n, maxval=self.epsilon_n,
+            )
+        else:
+            n_rap = jnp.zeros_like(point)
         n_rap = jnp.clip(point + n_rap, img_min, img_max) - point
 
         def body(n, k):

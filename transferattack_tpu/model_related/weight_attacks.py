@@ -54,7 +54,10 @@ class MUP(MIFGSM):
                 scores = jnp.broadcast_to(
                     jnp.sum(jnp.abs(w), axis=(0, 1), keepdims=True), w.shape
                 )
-            thresh = jnp.quantile(scores.reshape(-1), self.mask_ratio)
+            # the reference takes the int(numel·p)-th order statistic, not an
+            # interpolated quantile (``mup.py:86-90``)
+            flat = jnp.sort(scores.reshape(-1))
+            thresh = flat[int(flat.shape[0] * self.mask_ratio)]
             return w * (scores > thresh).astype(w.dtype)
 
         pruned = jax.tree_util.tree_map_with_path(
