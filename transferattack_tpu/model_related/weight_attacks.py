@@ -23,7 +23,18 @@ def _is_conv_kernel(path, leaf):
 class MUP(MIFGSM):
     """Mask unimportant parameters (``mup.py:28-130``): mask_ratio=0.15,
     taylor scores, alpha=2/255.  The reference demands batchsize=1; the
-    per-batch scores here generalize it."""
+    per-batch scores here generalize it.
+
+    Gradient-freshness note: although the reference calls
+    ``loss_1.backward(retain_graph=True)`` without ever zeroing grads
+    (``mup.py:69-71``), its conv ``.grad``s do NOT accumulate across
+    iterations — both ``restore_weight`` (``mup.py:120-128``) and
+    ``prune_from_mask`` (``mup.py:127-130``) rebuild each conv weight as a
+    fresh ``nn.Parameter`` whose ``.grad`` starts ``None``, so every
+    iteration's Taylor score |w·g| uses a fresh per-step gradient (only
+    non-conv params, which are never scored, accumulate).  The fresh
+    per-step gradient here matches that; iteration-1 masks bit-match the
+    torch twin (``tests/test_attack_parity5.py``)."""
 
     def __init__(self, model_name="resnet50", mask_ratio=0.15, mask_type="taylor",
                  **kwargs):
