@@ -36,20 +36,27 @@ class FGSRA(Attack):
         # decay indicator initialized to 10/9.4 = 1/0.94 (``fgsra.py:127``)
         return {"m": jnp.full_like(x, 10.0 / 9.4)}
 
+    def spectral_draws(self, key, x, state):
+        """All ``max_iter`` (gauss, mask) draws for one iteration
+        (``fgsra.py:184-187``) — overridable seam for paired-RNG twins."""
+        ka, kb = jax.random.split(key)
+        shape = (self.max_iter,) + x.shape
+        gauss = jax.random.uniform(
+            ka, shape, x.dtype,
+            minval=-self.eps * self.beta, maxval=self.eps * self.beta,
+        )
+        mask = jax.random.uniform(
+            kb, shape, x.dtype, minval=1 - self.rho, maxval=1 + self.rho
+        )
+        return gauss, mask
+
     def step(self, variables, x, y, state: AttackState):
         key, k1, k2 = jax.random.split(state.key, 3)
         xadv = x + state.delta
         current_grad = self.input_grad(variables, xadv, y, state, k1)
 
-        def one_sample(k):
-            ka, kb, kc = jax.random.split(k, 3)
-            gauss = jax.random.uniform(
-                ka, x.shape, x.dtype,
-                minval=-self.eps * self.beta, maxval=self.eps * self.beta,
-            )
-            mask = jax.random.uniform(
-                kb, x.shape, x.dtype, minval=1 - self.rho, maxval=1 + self.rho
-            )
+        def one_sample(draws):
+            gauss, mask = draws
 
             def loss_fn(p):
                 x_idct = idct_2d(dct_2d(p + gauss) * mask)
@@ -61,7 +68,7 @@ class FGSRA(Attack):
             return grad_i * sim
 
         # relevance-weighted *sum* over neighbors (``fgsra.py:148-150``)
-        samples = jax.lax.map(one_sample, jax.random.split(k2, self.max_iter))
+        samples = jax.lax.map(one_sample, self.spectral_draws(k2, x, state))
         avg_grad = samples.sum(0)
 
         s = cosine_similarity(current_grad, avg_grad)

@@ -14,11 +14,11 @@ from ..utils import img_max, img_min
 
 
 class GAA(Attack):
-    """Official args (``gaa.py``): rho=0.1·? lambda, xi=3.5·eps, N samples,
-    alpha=eps/epoch."""
+    """Official args (``gaa.py:33-42``): rho=1.6/255, lambda_param=0.2,
+    xi=3.5·eps, N=20, alpha=eps/epoch."""
 
-    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, rho=0.8,
-                 lambda_param=0.4, N=12, decay=1.0, targeted=False,
+    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255, rho=1.6 / 255,
+                 lambda_param=0.2, N=20, decay=1.0, targeted=False,
                  random_start=False, norm="linfty", loss="crossentropy",
                  sample_chunk=4, attack="GAA", **kwargs):
         kwargs.pop("alpha", None)
@@ -31,12 +31,17 @@ class GAA(Attack):
         self.N = int(N)
         self.sample_chunk = int(sample_chunk)
 
+    def neighbor_noise(self, key, x, state):
+        """xi-ball uniform draw (``gaa.py:112-121``) — overridable seam for
+        paired-RNG parity twins."""
+        return jax.random.uniform(
+            key, x.shape, x.dtype, minval=-self.xi, maxval=self.xi
+        )
+
     def get_grad(self, variables, x, y, state: AttackState, key):
         def sample(k):
             k1, k2, k3 = jax.random.split(k, 3)
-            pert = jax.random.uniform(
-                k1, x.shape, x.dtype, minval=-self.xi, maxval=self.xi
-            )
+            pert = self.neighbor_noise(k1, x, state)
             x_prime = jnp.clip(x + state.delta + pert, img_min, img_max)
             g_prime = self.input_grad(variables, x_prime, y, state, k2)
             axes = tuple(range(1, x.ndim))

@@ -33,12 +33,17 @@ class MEF(Attack):
     def init_extra(self, x, y):
         return {"grad_pgia": jnp.zeros((self.num_neighbor,) + x.shape, x.dtype)}
 
-    def get_grad(self, variables, x, y, state: AttackState, key):
-        k1, k2 = jax.random.split(key)
-        noise = jax.random.uniform(
-            k1, (self.num_neighbor,) + x.shape, x.dtype,
+    def neighbor_noise(self, key, x, state):
+        """Per-neighbor uniform draw (``mef.py:59-62``) — overridable seam for
+        paired-RNG parity twins."""
+        return jax.random.uniform(
+            key, (self.num_neighbor,) + x.shape, x.dtype,
             minval=-self.gamma, maxval=self.gamma,
         )
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        k1, k2 = jax.random.split(key)
+        noise = self.neighbor_noise(k1, x, state)
         # conditional samples: delta + noise + kesai·grad_pgia (``mef.py:59-64``)
         sample_delta = state.delta[None] + noise + self.kesai * state.extra["grad_pgia"]
 

@@ -31,21 +31,36 @@ class VMIFGSM(Attack):
     def init_extra(self, x, y):
         return {"variance": jnp.zeros_like(x)}
 
-    def get_grad(self, variables, x, y, state: AttackState, key):
-        gkey, nkey = jax.random.split(key)
+    def neighbor_noise(self, key, x, state):
+        """Uniform neighborhood draw (``vmifgsm.py:50``) — an overridable
+        seam so parity twins can inject identical draws on both frameworks."""
+        return jax.random.uniform(
+            key, x.shape, x.dtype, minval=-self.radius, maxval=self.radius
+        )
+
+    def step(self, variables, x, y, state: AttackState):
+        """Reference ordering (``vmifgsm.py:80-96``): main gradient at the
+        OLD momentum's lookahead, momentum updated from grad + previous
+        variance, and only THEN the neighbor sweep for the new variance —
+        so VNI's Nesterov transform sees the freshly updated momentum."""
+        key, sub = jax.random.split(state.key)
+        gkey, nkey = jax.random.split(sub)
         grad = self.input_grad(variables, x + state.delta, y, state, gkey)
+        momentum = self.get_momentum(grad + state.extra["variance"], state.momentum)
+        lookahead = state.replace(momentum=momentum)
 
         def neighbor_grad(k):
             k1, k2 = jax.random.split(k)
-            noise = jax.random.uniform(
-                k1, x.shape, x.dtype, minval=-self.radius, maxval=self.radius
-            )
-            return self.input_grad(variables, x + state.delta + noise, y, state, k2)
+            noise = self.neighbor_noise(k1, x, state)
+            return self.input_grad(
+                variables, x + state.delta + noise, y, lookahead, k2)
 
         avg = mean_over_keys(neighbor_grad, nkey, self.num_neighbor, self.sample_chunk)
-        # momentum consumes grad + previous variance (``vmifgsm.py:89``);
-        # the new variance is avg-neighbor-grad minus the current gradient
-        return grad + state.extra["variance"], {"variance": avg - grad}
+        delta = self.update_delta(state.delta, x, momentum)
+        return state.replace(
+            delta=delta, momentum=momentum, key=key, step=state.step + 1,
+            extra={"variance": avg - grad},
+        )
 
 
 class VNIFGSM(VMIFGSM):
