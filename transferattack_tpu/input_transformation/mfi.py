@@ -61,10 +61,22 @@ class MFI(MIFGSM):
     def num_copies(self):
         return self.num_sample * self.num_scale
 
-    def _mix_one(self, x, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def mix_draws(self, key, x, state):
+        """(perms, alphas, noises) for all ``num_sample`` mixes
+        (``mfi.py:139-158``) — overridable seam for paired-RNG twins."""
+        B = x.shape[0]
+        keys = jax.random.split(key, self.num_sample)
+        perms, alphas, noises = [], [], []
+        for k in keys:
+            k1, k2, k3 = jax.random.split(k, 3)
+            perms.append(jax.random.permutation(k1, B))
+            alphas.append(jax.random.uniform(k2, (), x.dtype))
+            noises.append(jax.random.normal(k3, x.shape, x.dtype))
+        return jnp.stack(perms), jnp.stack(alphas), jnp.stack(noises)
+
+    def _mix_one(self, x, perm, alpha, noise):
         B, H, W, C = x.shape
-        pool = jax.lax.stop_gradient(x[jax.random.permutation(k1, B)])
+        pool = jax.lax.stop_gradient(x[perm])
         X = _fft2_shift(x)
         M = _fft2_shift(pool)
         mask_l = jnp.asarray(
@@ -75,16 +87,16 @@ class MFI(MIFGSM):
         if self.mfi_type == "hmfi":
             mixed = X * mask_l + M * mask_h
         else:
-            a = jax.random.uniform(k2, (), x.dtype)
-            mixed = X * mask_l + a * (X * mask_h) + (1 - a) * (M * mask_h)
+            mixed = X * mask_l + alpha * (X * mask_h) + (1 - alpha) * (M * mask_h)
         out = _ifft2_shift(mixed)
-        return out + jax.random.normal(k3, x.shape, x.dtype) * (
-            self.gaussian_sigma / 255.0
-        )
+        return out + noise * (self.gaussian_sigma / 255.0)
 
     def transform(self, x, state: AttackState, key):
-        keys = jax.random.split(key, self.num_sample)
-        mixed = jnp.stack([self._mix_one(x, k) for k in keys])  # (3, B, ...)
+        perms, alphas, noises = self.mix_draws(key, x, state)
+        mixed = jnp.stack([
+            self._mix_one(x, perms[i], alphas[i], noises[i])
+            for i in range(self.num_sample)
+        ])  # (3, B, ...)
         scales = 1.0 / 2 ** jnp.arange(self.num_scale, dtype=x.dtype)
         out = scales.reshape(-1, 1, 1, 1, 1, 1) * mixed[None]
         return out.reshape((-1,) + x.shape)

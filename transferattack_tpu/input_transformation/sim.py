@@ -87,6 +87,16 @@ class USMM(MIFGSM):
     def num_copies(self):
         return self.num_scale * self.num_mix
 
+    def mix_perms(self, key, B, state):
+        """One shuffled-batch permutation per (mix, scale) copy — the
+        reference's comprehension draws a FRESH ``randperm`` for every
+        ``x_scale`` term (``usmm.py:52``).  Overridable seam for paired-RNG
+        parity twins."""
+        keys = jax.random.split(key, self.num_mix * self.num_scale)
+        return jnp.stack([jax.random.permutation(k, B) for k in keys]).reshape(
+            self.num_mix, self.num_scale, B
+        )
+
     def get_grad(self, variables, x, y, state: AttackState, key):
         xadv = x + state.delta
         B = x.shape[0]
@@ -98,20 +108,16 @@ class USMM(MIFGSM):
             ],
             x.dtype,
         )
-        keys = jax.random.split(key, self.num_mix)
-        masks = []
-        for k in keys:
-            perm = jax.random.permutation(k, B)
-            masks.append(
-                (1 - self.mix_range)
-                + 2 * self.mix_range * jax.lax.stop_gradient(xadv[perm])
-            )
-        masks = jnp.stack(masks)  # (num_mix, B, ...)
+        perms = self.mix_perms(key, B, state)  # (num_mix, num_scale, B)
+        masks = (1 - self.mix_range) + 2 * self.mix_range * jax.lax.stop_gradient(
+            xadv[perms]
+        )  # (num_mix, num_scale, B, ...)
 
         # the reference differentiates w.r.t. the transformed points
         # themselves (x_trans is a detached leaf, ``usmm.py:83-90``) — the
-        # scale/mask chain is intentionally NOT back-propagated
-        pts = scales.reshape(-1, 1, 1, 1, 1, 1) * (xadv[None, None] * masks[None])
+        # scale/mask chain is intentionally NOT back-propagated; copy order is
+        # mix-major, scale-minor (``usmm.py:52``)
+        pts = scales.reshape(1, -1, 1, 1, 1, 1) * (xadv[None, None] * masks)
         pts = jnp.clip(pts.reshape((-1,) + x.shape), 0.0, 1.0)
         pts = jax.lax.stop_gradient(pts)
 
