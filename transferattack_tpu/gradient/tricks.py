@@ -8,7 +8,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..attack import Attack, AttackState, mean_over_keys
+from ..attack import Attack, AttackState
 
 
 class RGMIFGSM(Attack):
@@ -28,7 +28,10 @@ class RGMIFGSM(Attack):
         self.s = float(s)
         self.num_directions = int(num_directions)
 
-    def _random_delta(self, x, key):
+    def restart_delta(self, key, x, idx):
+        """Fresh uniform(-eps, eps) random start, box-clipped
+        (``attack.py:130-143``) — overridable seam for paired-RNG twins;
+        ``idx`` is the direction index."""
         delta = jax.random.uniform(
             key, x.shape, x.dtype, minval=-self.eps, maxval=self.eps
         )
@@ -40,9 +43,10 @@ class RGMIFGSM(Attack):
         state = self.init_state(x, y, key)
         base_alpha = self.alpha
 
-        def warm_body(carry, k):
+        def warm_body(carry, k_idx):
+            k, idx = k_idx
             momentum, _ = carry
-            delta = self._random_delta(x, k)
+            delta = self.restart_delta(k, x, idx)
 
             def inner(c, kk):
                 m, d = c
@@ -64,7 +68,8 @@ class RGMIFGSM(Attack):
         (momentum, _), _ = jax.lax.scan(
             warm_body,
             (state.momentum, state.delta),
-            jax.random.split(wkey, self.num_directions),
+            (jax.random.split(wkey, self.num_directions),
+             jnp.arange(self.num_directions)),
         )
         momentum = momentum / self.num_directions
         state = state.replace(momentum=momentum, delta=jnp.zeros_like(x), key=key)
@@ -90,14 +95,19 @@ class DualMIFGSM(Attack):
     def init_extra(self, x, y):
         return {"delta_dual": jnp.zeros_like(x), "momentum_dual": jnp.zeros_like(x)}
 
-    def step(self, variables, x, y, state: AttackState):
+    def restart_delta(self, key, x, state, idx=0):
+        """Per-iteration fresh random start (``mifgsm_with_tricks.py:165``) —
+        overridable seam for paired-RNG twins."""
         from ..utils import img_max, img_min
 
-        key, k1, k2 = jax.random.split(state.key, 3)
         delta = jax.random.uniform(
-            k1, x.shape, x.dtype, minval=-self.eps, maxval=self.eps
+            key, x.shape, x.dtype, minval=-self.eps, maxval=self.eps
         )
-        delta = jnp.clip(x + delta, img_min, img_max) - x
+        return jnp.clip(x + delta, img_min, img_max) - x
+
+    def step(self, variables, x, y, state: AttackState):
+        key, k1, k2 = jax.random.split(state.key, 3)
+        delta = self.restart_delta(k1, x, state)
         grad = self.input_grad(variables, x + delta, y, state, k2)
         momentum = self.get_momentum(grad, state.momentum)
         momentum_dual = self.get_momentum(grad, state.extra["momentum_dual"])
@@ -123,19 +133,17 @@ class Ens_FGSM_MIFGSM(DualMIFGSM):
         self.num_directions = int(num_d)
 
     def step(self, variables, x, y, state: AttackState):
-        from ..utils import img_max, img_min
-
         key, sub = jax.random.split(state.key)
+        keys = jax.random.split(sub, self.num_directions)
 
-        def one(k):
+        def one(k_idx):
+            k, idx = k_idx
             ka, kb = jax.random.split(k)
-            delta = jax.random.uniform(
-                ka, x.shape, x.dtype, minval=-self.eps, maxval=self.eps
-            )
-            delta = jnp.clip(x + delta, img_min, img_max) - x
+            delta = self.restart_delta(ka, x, state, idx)
             return self.input_grad(variables, x + delta, y, state, kb)
 
-        grad = mean_over_keys(one, sub, self.num_directions)
+        grads = jax.lax.map(one, (keys, jnp.arange(self.num_directions)))
+        grad = grads.mean(0)
         momentum = self.get_momentum(grad, state.momentum)
         momentum_dual = self.get_momentum(grad, state.extra["momentum_dual"])
         delta_dual = self.update_delta(state.extra["delta_dual"], x, momentum_dual)
