@@ -1,13 +1,18 @@
 """MetaSSA — meta-learning in the frequency domain (reference:
 ``transferattack/model_related/metassa.py``).
 
-The reference's 500-LoC vendored DWT autograd stack reduces to: the
-low-frequency component is the 2×2 Haar LL reconstruction (block average),
-the high-frequency part is the residual.  Each step mixes the features of
-the low/high components and the live input at a random stage
-(a·f_lo + b·f_hi + c·f_live with a+b+c=1, ``metassa.py:600-618``) — a tap
-replacement here — and runs meta-train (n_sample inner updates) plus
-meta-test (gradients at the inner trajectory points).
+The reference's 500-LoC vendored DWT autograd stack reduces to: its custom
+``IDWTFunction_2D.forward`` DROPS the LL term (``metassa.py:542-546``, the
+commented-out line), so ``inputs_hh = IDWT(DWT(x))`` is the high-pass
+projection and ``inputs_ll = x - inputs_hh`` is the Haar LL reconstruction
+— a 2×2 block average; both custom backwards are the (symmetric) same
+projections, so plain ``jax.grad`` through ``lowfreq`` is exact.  Each
+meta-train step runs the model on the LOW-frequency component of the
+perturbed point; meta-test runs on the full point.  Both mix clean low/high
+features with the live features at a random stage (a·f_lo + b·f_hi +
+c·f_live, a+b+c=1, ``metassa.py:600-618``) — a tap replacement here.  The
+reference chooses among all 9 torchvision top-level children (conv1..avgpool);
+the Flax zoo taps the 4 residual stages, the stages where features change.
 """
 from __future__ import annotations
 
@@ -61,16 +66,31 @@ class MetaSSA(MIFGSM):
             feats[s] = jax.lax.stop_gradient(f)
         return feats
 
-    def _mixed_logits(self, variables, point, f_lo, f_hi, key):
+    def mix_coeffs(self, key, step, i, phase):
+        """(a, b, stage-index) for one mixed forward
+        (``metassa.py:600-608``): a ~ U(0,1), b ~ U(0,1-a), c = 1-a-b, and a
+        uniformly chosen mixing stage.  Overridable seam for paired-RNG
+        twins (``phase`` 0 = meta-train, 1 = meta-test)."""
         k1, k2, k3 = jax.random.split(key, 3)
         a = jax.random.uniform(k1, ())
         b = jax.random.uniform(k2, ()) * (1 - a)
-        c = 1 - a - b
         sel = jax.random.randint(k3, (), 0, len(self.stages()))
+        return a, b, sel
+
+    def gauss_draw(self, key, x, step, i, phase):
+        """N(0, eps²) exploration noise (``metassa.py:56,113``) — seam."""
+        return jax.random.normal(key, x.shape, x.dtype) * self.eps
+
+    def _mixed_logits(self, variables, point, f_lo, f_hi, coeffs):
+        # reference weighting (``metassa.py:600-612``): features1 = the
+        # LOW-frequency clean features get weight a, features2 = the
+        # high-frequency clean features get weight b, the live path c=1-a-b
+        a, b, sel = coeffs
+        c = 1 - a - b
         taps = {}
         for i, s in enumerate(self.stages()):
             def tap(feat, i=i, s=s):
-                mixed = a * f_hi[s] + b * f_lo[s] + c * feat
+                mixed = a * f_lo[s] + b * f_hi[s] + c * feat
                 return jnp.where(sel == i, mixed, feat)
 
             taps[s] = tap
@@ -83,12 +103,20 @@ class MetaSSA(MIFGSM):
         f_hi = self._stage_feats(variables, hi)
         state = self.init_state(x, y, key)
 
-        def craft(delta, grad_pre, k):
+        def craft(delta, grad_pre, k, step, i):
             k1, k2 = jax.random.split(k)
-            gauss = jax.random.normal(k1, x.shape, x.dtype) * self.eps
+            gauss = self.gauss_draw(k1, x, step, i, 0)
+            coeffs = self.mix_coeffs(k2, step, i, 0)
 
             def loss_fn(d):
-                logits = self._mixed_logits(variables, x + d + gauss, f_lo, f_hi, k2)
+                # the meta-train live path runs on the LOW-frequency
+                # component of the perturbed point (``metassa.py:57-60``:
+                # inputs_ll = x_idct - IDWT(DWT(x_idct)), whose custom
+                # backward drops the LL path — gradients flow through the
+                # block-average projection)
+                logits = self._mixed_logits(
+                    variables, lowfreq(x + d + gauss), f_lo, f_hi, coeffs
+                )
                 return self.get_loss(logits[None], y)
 
             g = jax.grad(loss_fn)(delta)
@@ -98,26 +126,30 @@ class MetaSSA(MIFGSM):
         def body(st, _):
             key, ktr, kte = jax.random.split(st.key, 3)
             # meta-train: n_sample inner updates recording the trajectory
-            def train_body(carry, k):
+            def train_body(carry, ki):
+                k, i = ki
                 d, gp = carry
-                d, gp = craft(d, gp, k)
+                d, gp = craft(d, gp, k, st.step, i)
                 return (d, gp), d
 
             (adv_delta, grad_pre_train), traj = jax.lax.scan(
                 train_body,
                 (st.delta, st.extra["grad_pre_train"]),
-                jax.random.split(ktr, self.n_sample),
+                (jax.random.split(ktr, self.n_sample),
+                 jnp.arange(self.n_sample)),
             )
 
-            # meta-test: normalized gradients at each trajectory point
-            def test_body(acc, dk):
-                d, k = dk
+            # meta-test: normalized gradients at each trajectory point, the
+            # live path on the FULL perturbed point (``metassa.py:115-118``)
+            def test_body(acc, dki):
+                d, k, i = dki
                 k1, k2 = jax.random.split(k)
-                gauss = jax.random.normal(k1, x.shape, x.dtype) * self.eps
+                gauss = self.gauss_draw(k1, x, st.step, i, 1)
+                coeffs = self.mix_coeffs(k2, st.step, i, 1)
 
                 def loss_fn(dd):
                     logits = self._mixed_logits(
-                        variables, x + dd + gauss, f_lo, f_hi, k2
+                        variables, x + dd + gauss, f_lo, f_hi, coeffs
                     )
                     return self.get_loss(logits[None], y)
 
@@ -126,7 +158,8 @@ class MetaSSA(MIFGSM):
 
             test_total, _ = jax.lax.scan(
                 test_body, jnp.zeros_like(x),
-                (traj, jax.random.split(kte, self.n_sample)),
+                (traj, jax.random.split(kte, self.n_sample),
+                 jnp.arange(self.n_sample)),
             )
             grad_mu = test_total / self.n_sample + st.extra["grad_pre_test"]
             delta = self.update_delta(st.delta, x, grad_pre_train + grad_mu)

@@ -107,19 +107,28 @@ class AWT(Attack):
 
     def init_extra(self, x, y):
         params = self.model.variables["params"]
+        zeros = jax.tree.map(jnp.zeros_like, params)
         return {
             "params": params,
-            "sgd_buf": jax.tree.map(jnp.zeros_like, params),
+            "sgd_buf": zeros,
+            # leftover param-grads: the reference never zeroes grads before
+            # the first closure call, so the SAM ascent direction at
+            # iteration i is g2_{i-1} + g_closure_i (``awt.py:88-99`` with
+            # ``SAM.step`` zeroing only inside ``first_step``)
+            "grad_residue": zeros,
         }
 
-    def _sam_update(self, variables, params, buf, x, delta, y):
+    def _sam_update(self, variables, params, buf, residue, x, delta, y):
         def closure_loss(p):
             v = {**variables, "params": p}
             adv = self.model.apply(v, x + delta)
             clean = self.model.apply(v, x)
             return self.get_loss(adv[None], y) + self.get_loss(clean[None], y)
 
-        g = jax.grad(closure_loss)(params)
+        g_fresh = jax.grad(closure_loss)(params)
+        # accumulated ascent grad = previous iteration's perturbed-point grad
+        # (never zeroed) + this iteration's closure grad
+        g = jax.tree.map(jnp.add, residue, g_fresh)
         gn = jnp.sqrt(
             sum(jnp.sum(v**2) for v in jax.tree.leaves(g))
         ) + 1e-12
@@ -128,23 +137,29 @@ class AWT(Attack):
         # SGD(momentum=0.5) from the ORIGINAL weights (SAM second step)
         buf = jax.tree.map(lambda b, gg: 0.5 * b + gg, buf, g2)
         params = jax.tree.map(lambda w, b: w - self.sam_lr * b, params, buf)
-        return params, buf
+        return params, buf, g2
+
+    def neighbor_noise(self, key, x, state, idx):
+        """zeta-ball uniform draw (``awt.py:54``) — overridable seam for
+        paired-RNG parity twins."""
+        return jax.random.uniform(
+            key, x.shape, x.dtype, minval=-self.zeta, maxval=self.zeta
+        )
 
     def step(self, variables, x, y, state: AttackState):
         key, sub = jax.random.split(state.key)
-        params, buf = self._sam_update(
+        params, buf, residue = self._sam_update(
             variables, state.extra["params"], state.extra["sgd_buf"],
-            x, state.delta, y,
+            state.extra["grad_residue"], x, state.delta, y,
         )
         tuned = jax.lax.stop_gradient({**variables, "params": params})
 
-        from ..attack import l1_normalize, mean_over_keys
+        from ..attack import l1_normalize
 
-        def sample_grad(k):
+        def sample_grad(ki):
+            k, idx = ki
             k1, k2, k3 = jax.random.split(k, 3)
-            noise = jax.random.uniform(
-                k1, x.shape, x.dtype, minval=-self.zeta, maxval=self.zeta
-            )
+            noise = self.neighbor_noise(k1, x, state, idx)
 
             def ce_at(p):
                 logits = self.model.apply(tuned, p)
@@ -156,13 +171,20 @@ class AWT(Attack):
             g2 = jax.grad(ce_at)(x_next)
             return (1 - self.gamma) * g1 + self.gamma * g2
 
-        avg = mean_over_keys(sample_grad, sub, self.num_neighbor, self.sample_chunk)
+        grads = jax.lax.map(
+            sample_grad,
+            (jax.random.split(sub, self.num_neighbor),
+             jnp.arange(self.num_neighbor)),
+            batch_size=min(self.sample_chunk, self.num_neighbor),
+        )
+        avg = grads.mean(0)
         momentum = self.get_momentum(avg, state.momentum)
         delta = self.update_delta(state.delta, x, momentum)
         return state.replace(
             delta=delta, momentum=momentum, key=key, step=state.step + 1,
             extra={"params": jax.lax.stop_gradient(params),
-                   "sgd_buf": jax.lax.stop_gradient(buf)},
+                   "sgd_buf": jax.lax.stop_gradient(buf),
+                   "grad_residue": jax.lax.stop_gradient(residue)},
         )
 
 
@@ -182,6 +204,11 @@ class FAUG(MIFGSM):
         self.burn_in = int(burn_in_steps)
         self.tap_layer = tap_layer
 
+    def unit_noise(self, key, shape, dtype, state):
+        """Standard-normal draw scaled later by std1·std(feat)
+        (``faug.py:150-156``) — overridable seam for paired-RNG twins."""
+        return jax.random.normal(key, shape, dtype)
+
     def get_grad(self, variables, x, y, state: AttackState, key):
         k1, k2 = jax.random.split(key)
         use_noise = (state.step >= self.burn_in).astype(x.dtype)
@@ -189,8 +216,8 @@ class FAUG(MIFGSM):
         def tap(feat):
             if self.noise_type == "normal":
                 std = self.std1 * jnp.std(feat)
-                noise = self.mean1 + std * jax.random.normal(
-                    k1, feat.shape, feat.dtype
+                noise = self.mean1 + std * self.unit_noise(
+                    k1, feat.shape, feat.dtype, state
                 )
             else:
                 noise = jax.random.uniform(

@@ -175,8 +175,13 @@ def torch_state_dict_to_flax(
         if key.endswith(("num_batches_tracked", "relative_position_index",
                          "attn_mask")):
             continue  # derived buffers recomputed on the fly here
-        arr = np.asarray(
-            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+        # copy=True: ``Tensor.numpy()`` returns a zero-copy VIEW of torch
+        # storage — without the copy, attacks that mutate surrogate weights
+        # in place (AWT's SAM, MUP pruning twins) would silently corrupt
+        # already-converted params
+        arr = np.array(
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor,
+            copy=True,
         )
         merged = _merge_indices(key)
         mod = merged.rsplit("/", 1)[0] if "/" in merged else ""
