@@ -30,6 +30,10 @@ CASES = [
                    sample_chunk=1), False),
     ("odi", dict(model_name="toy_cnn", epoch=3, num_views=2), True),
     ("metassa", dict(RN, n_sample=2), False),
+    # resnet18 lacks 6 layer3 units -> explicit LAG taps
+    ("mfaa", dict(RN, num_ens=2,
+                  taps=("layer4_1", "layer3_1", "layer3_0", "layer2_1",
+                        "layer1_1")), False),
     ("vdc", dict(VIT), False),
     ("fpr", dict(VIT), False),
     ("att", dict(VIT, crop_length=8, sample_num_patches=10), False),

@@ -73,41 +73,131 @@ class ATA(Attack):
         return self.finalize(state, x, y)
 
 
-class MFAA(FIA):
-    """Multi-layer feature-attention fusion (``mfaa.py:34-252``): FIA-style
-    aggregate weights at EVERY stage, fused into one loss; drop masks with
-    prob ``probb``."""
+def _l2_normalize_per_sample(t, eps=1e-12):
+    """Reference ``mfaa._l2_normalize_per_sample:103-108``."""
+    v = t.reshape(t.shape[0], -1)
+    n = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True) + eps)
+    return (v / n).reshape(t.shape)
+
+
+class MFAA(Attack):
+    """Multi-feature attention attack (``mfaa.py:34-252``): guidance weights
+    are the negated, per-sample-normalized mean true-logit feature gradients
+    under shared input drop masks at FIVE specific taps (resnet50:
+    layer4[-1], layer3[-1], layer3[-3], layer3[-5], layer2[-1],
+    ``mfaa.py:64-77``; resnet152 offsets −8/−17/−27, ``mfaa.py:50-58``);
+    each iteration runs the LAG chain — loss at L4 with its guidance, whose
+    feature gradient (adv half, detached, normalized, plus guidance) becomes
+    the weights of the next-shallower loss, down to layer2 — then ascends
+    the final layer2 loss with MI momentum (``mfaa.py:196-245``).  The
+    reference forwards concat(clean, adv) but its losses touch only the adv
+    half; the clean half survives solely in the ``numel`` divisor (×2 here,
+    ``mfaa.py:110-117``)."""
 
     def __init__(self, model_name="resnet50", num_ens=30, probb=0.8,
-                 layers=("layer1", "layer2", "layer3", "layer4"), **kwargs):
+                 taps=None, **kwargs):
         kwargs.setdefault("attack", "MFAA")
-        kwargs.setdefault("feature_layer", layers[0])
-        super().__init__(model_name, num_ens=num_ens, **kwargs)
-        self.layers = tuple(layers)
+        super().__init__(model_name, **kwargs)
+        self.num_ens = int(num_ens)
         self.probb = float(probb)
-        self.drop_rate = 1 - self.probb
+        self._taps = tuple(taps) if taps else self._default_taps()
+
+    def _default_taps(self):
+        sizes = list(self.model.module.backbone.stage_sizes)
+        off = (8, 17, 27) if sizes == [3, 8, 36, 3] else (1, 3, 5)
+        if sizes[2] < off[2] + 1:
+            raise ValueError(
+                f"MFAA needs >= {off[2] + 1} layer3 units (got stage sizes "
+                f"{sizes}); pass taps= explicitly for this surrogate"
+            )
+        return (f"layer4_{sizes[3] - 1}",
+                f"layer3_{sizes[2] - off[0]}",
+                f"layer3_{sizes[2] - off[1]}",
+                f"layer3_{sizes[2] - off[2]}",
+                f"layer2_{sizes[1] - 1}")
+
+    def drop_mask(self, key, x, i):
+        """Bernoulli keep mask, prob ``probb`` (``mfaa.py:118-123``) —
+        overridable seam for paired-RNG parity twins."""
+        return jax.random.bernoulli(key, self.probb, x.shape).astype(x.dtype)
+
+    def _feats_fn(self, variables):
+        names = self._taps
+
+        def F(x_in, offs):
+            captured = {}
+            taps = {}
+            for n in names:
+                def tap(f, n=n):
+                    f = f + offs[n]
+                    captured[n] = f
+                    return f
+
+                taps[tap_key(n)] = tap
+            logits = self.model.apply(variables, x_in, tap_fns=taps)
+            return captured, logits
+
+        return F
+
+    def _zero_offs(self, variables, x):
+        return {
+            n: jnp.zeros(self.model.feature_shape(x.shape, n), x.dtype)
+            for n in self._taps
+        }
+
+    def _guidance(self, variables, x, y, key):
+        """Mean true-logit feature gradients over num_ens shared drop masks,
+        negated + per-sample normalized (``mfaa.py:127-173``)."""
+        F = self._feats_fn(variables)
+        zero = self._zero_offs(variables, x)
+
+        def one(ki):
+            k, i = ki
+            x_drop = jax.lax.stop_gradient(x * self.drop_mask(k, x, i))
+
+            def chosen_fn(offs):
+                _, logits = F(x_drop, offs)
+                oh = jax.nn.one_hot(y, logits.shape[-1], dtype=logits.dtype)
+                return jnp.sum(logits * oh)
+
+            return jax.grad(chosen_fn)(zero)
+
+        keys = jax.random.split(key, self.num_ens)
+        acc = jax.lax.map(one, (keys, jnp.arange(self.num_ens)))
+        return {
+            n: -_l2_normalize_per_sample(acc[n].mean(0)) for n in self._taps
+        }
 
     def run(self, variables, x, y, key):
-        key, kagg = jax.random.split(key)
-        aggs = {}
-        for i, layer in enumerate(self.layers):
-            self.feature_layer = layer
-            aggs[layer] = jax.lax.stop_gradient(
-                self.aggregate_grad(variables, x, y, jax.random.fold_in(kagg, i))
-            )
+        key, kg = jax.random.split(key)
+        guidance = jax.lax.stop_gradient(self._guidance(variables, x, y, kg))
         state = self.init_state(x, y, key)
-
-        def feature_loss(delta):
-            total = 0.0
-            for layer in self.layers:
-                _, feat = self.model.feature(variables, x + delta, layer)
-                total = total + jnp.sum(feat * aggs[layer]) / len(self.layers)
-            return total
+        F = self._feats_fn(variables)
+        zero = self._zero_offs(variables, x)
+        L4, L3a, L3b, L3c, L2 = self._taps
 
         def body(st, _):
             k, _ = jax.random.split(st.key)
-            grad = jax.grad(feature_loss)(st.delta)
-            momentum = self.get_momentum(-grad, st.momentum)
+            (feats, logits), pull = jax.vjp(
+                lambda d, o: F(x + d, o), st.delta, zero
+            )
+
+            def cot(n, w):
+                c = {m: jnp.zeros_like(feats[m]) for m in self._taps}
+                # (adv·w).sum()/numel(concat(clean, adv)) — the ×2 is the
+                # clean half's only role (``mfaa.py:110-117``)
+                c[n] = w / (2.0 * feats[n].size)
+                return (c, jnp.zeros_like(logits))
+
+            w = guidance[L4]
+            prev = L4
+            for nxt in (L3a, L3b, L3c, L2):
+                _, g_offs = pull(cot(prev, w))
+                g = jax.lax.stop_gradient(g_offs[nxt])
+                w = _l2_normalize_per_sample(g) + guidance[nxt]
+                prev = nxt
+            grad, _ = pull(cot(L2, w))
+            momentum = self.get_momentum(grad, st.momentum)
             delta = self.update_delta(st.delta, x, momentum)
             return st.replace(delta=delta, momentum=momentum, key=k,
                               step=st.step + 1), None

@@ -78,6 +78,18 @@ class Foolmix(Attack):
         misclassified = (~in_topk).reshape(shape1)
         return jnp.where(misclassified, adjusted, delta)
 
+    def pixel_blocks(self, key, x, step):
+        """N(0, 0.1²) pixel blocks, (n, B, H, W, C)
+        (``foolmix.py:351-355``) — overridable seam for parity twins."""
+        return jax.random.normal(key, (self.n,) + x.shape, x.dtype) * 0.1
+
+    def other_labels(self, key, batch, step):
+        """Uniform random class labels, (n, z, B)
+        (``foolmix.py:357-366``) — seam."""
+        return jax.random.randint(
+            key, (self.n, self.z, batch), 0, self.model.num_classes
+        )
+
     def step(self, variables, x, y, state: AttackState):
         key, kP, kL = jax.random.split(state.key, 3)
         delta = state.delta
@@ -85,9 +97,8 @@ class Foolmix(Attack):
             delta = self._direction_adjust(variables, x, delta, y)
 
         B = x.shape[0]
-        P = jax.random.normal(kP, (self.n,) + x.shape, x.dtype) * 0.1
-        num_classes = self.model.num_classes
-        L = jax.random.randint(kL, (self.n, self.z, B), 0, num_classes)
+        P = self.pixel_blocks(kP, x, state.step)
+        L = self.other_labels(kL, B, state.step)
         xadv = x + delta
 
         # 'lens' gradient: other-class labels at z scale levels (``:125-155``)

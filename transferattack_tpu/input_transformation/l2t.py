@@ -115,15 +115,25 @@ class L2T(Attack):
     def init_extra(self, x, y):
         return {"aug_param": jnp.zeros((NUM_OPS,), x.dtype)}
 
+    def apply_op(self, x, op_idx, key, step, copy, slot):
+        """One augmentation dispatch — overridable seam for parity twins
+        (``step``/``copy``/``slot`` index the draw)."""
+        return _apply_op(x, op_idx, key, self.eps)
+
+    def sample_ids(self, key, aug_param, step, copy):
+        """``select_op`` (``l2t.py:16-19``): ops_num categorical draws from
+        softmax(θ), with replacement — seam."""
+        return jax.random.categorical(key, aug_param, shape=(self.ops_num,))
+
     def get_grad(self, variables, x, y, state: AttackState, key):
         aug_param = state.extra["aug_param"]
         keys = jax.random.split(key, self.num_scale)
 
-        def chain_loss(delta, ids, k):
+        def chain_loss(delta, ids, k, copy):
             pt = x + delta
             ks = jax.random.split(k, self.ops_num)
             for j in range(self.ops_num):
-                pt = _apply_op(pt, ids[j], ks[j], self.eps)
+                pt = self.apply_op(pt, ids[j], ks[j], state.step, copy, j)
             logits = self.model.apply(variables, pt)
             return self.get_loss(logits[None], y)
 
@@ -133,10 +143,12 @@ class L2T(Attack):
         # compiler); under vmap the op switch lowers to compute-and-select
         # over the 10 cheap augmentations while the model runs one batched
         # pass over the copies
-        def one_copy(k):
+        def one_copy(k, copy):
             k1, k2 = jax.random.split(k)
-            ids = jax.random.categorical(k1, aug_param, shape=(self.ops_num,))
-            loss_i, g_i = jax.value_and_grad(chain_loss)(state.delta, ids, k2)
+            ids = self.sample_ids(k1, aug_param, state.step, copy)
+            loss_i, g_i = jax.value_and_grad(chain_loss)(
+                state.delta, ids, k2, copy
+            )
 
             # REINFORCE: ∂(p_chain·loss)/∂θ with loss treated as constant
             def log_prob(theta):
@@ -149,6 +161,6 @@ class L2T(Attack):
             ag_i = jax.lax.stop_gradient(loss_i) * jax.grad(log_prob)(aug_param)
             return g_i, ag_i
 
-        g, ag = jax.vmap(one_copy)(keys)
+        g, ag = jax.vmap(one_copy)(keys, jnp.arange(self.num_scale))
         new_param = aug_param + self.aug_lr * ag.mean(0)
         return g.mean(0), {"aug_param": new_param}

@@ -68,24 +68,36 @@ class DHFMixin:
             feats[name] = jax.lax.stop_gradient(f)
         return feats
 
-    def _make_taps(self, mix_feats, indicator, key):
+    def mixup_uniform(self, key, shape, dtype, step, i):
+        """Elementwise U(0, mixup_weight_max) mix weight
+        (``dhf_networks/utils.py:41-46``) — overridable seam for paired-RNG
+        parity twins (``i`` indexes ``dhf_modules``)."""
+        return jax.random.uniform(key, shape, dtype,
+                                  maxval=self.mixup_weight_max)
+
+    def keep_uniform(self, key, shape, step, i):
+        """Elementwise U(0,1) compared against random_keep_prob
+        (``dhf_networks/utils.py:48-50``) — seam."""
+        return jax.random.uniform(key, shape)
+
+    def _make_taps(self, mix_feats, indicator, key, step):
         taps = {}
         for i, name in enumerate(self.dhf_modules):
             mix = mix_feats[name]
             kname = jax.random.fold_in(key, i)
 
-            def tap(feat, mix=mix, kname=kname):
+            def tap(feat, mix=mix, kname=kname, i=i):
                 reps = feat.shape[0] // mix.shape[0]
                 mixb = jnp.tile(mix, (reps,) + (1,) * (mix.ndim - 1))
                 ind = indicator.reshape((-1,) + (1,) * (feat.ndim - 1))
                 k1, k2 = jax.random.split(kname)
-                w = ind * jax.random.uniform(
-                    k1, feat.shape, feat.dtype, maxval=self.mixup_weight_max
-                )
+                w = ind * self.mixup_uniform(k1, feat.shape, feat.dtype,
+                                             step, i)
                 feat = w * mixb + (1.0 - w) * feat
                 mean = jnp.mean(feat, axis=tuple(range(1, feat.ndim)), keepdims=True)
                 replace = (
-                    jax.random.uniform(k2, feat.shape) >= self.random_keep_prob
+                    self.keep_uniform(k2, feat.shape, step, i)
+                    >= self.random_keep_prob
                 ) & (ind > 0)
                 return jnp.where(replace, mean, feat)
 
@@ -101,7 +113,7 @@ class DHFMixin:
         # DHF applies to images the surrogate currently MISclassifies
         # (indicator = 1 − correct, ``dhf.py:60-72``)
         taps = self._make_taps(
-            self._mix_feats, 1.0 - state.extra["correct"], dkey
+            self._mix_feats, 1.0 - state.extra["correct"], dkey, state.step
         )
 
         def loss_fn(delta):

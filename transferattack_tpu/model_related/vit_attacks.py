@@ -16,8 +16,26 @@ import jax.numpy as jnp
 
 from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
-from ..models import make_model
+from ..models import Surrogate, make_model
 from ..models.vit import ViTSurgery
+
+
+def _with_surgery(spec, surgery, kwargs):
+    """Resolve a model spec and re-house its ViT backbone with ``surgery``
+    (Surrogate specs let parity twins inject converted tiny models)."""
+    if isinstance(spec, Surrogate):
+        from .vit_attacks2 import _rebuild_vit
+
+        kwargs.pop("pretrained", None)
+        kwargs.pop("input_size", None)
+        return Surrogate(
+            name=spec.name, module=_rebuild_vit(spec, surgery),
+            variables=spec.variables, input_size=spec.input_size,
+            num_classes=spec.num_classes,
+        )
+    return make_model(spec, surgery=surgery,
+                      pretrained=kwargs.pop("pretrained", True),
+                      input_size=kwargs.pop("input_size", None))
 
 
 def _zero_token_extremes(g, axis):
@@ -142,32 +160,32 @@ class PNA_PatchOut(MIFGSM):
         return jax.grad(loss_fn)(state.delta), {}
 
 
-def sapr_attn_pre(x, meta, rng, prob=0.15):
-    """SAPR (``sapr.py:38-53``): with prob, permute all non-cls tokens at the
-    attention input."""
-    B, N, C = x.shape
-    k1, k2 = jax.random.split(rng)
-    perm = jax.random.permutation(k1, N - 1) + 1
-    idx = jnp.concatenate([jnp.zeros((1,), perm.dtype), perm])
-    permuted = x[:, idx]
-    apply = jax.random.bernoulli(k2, prob)
-    return jnp.where(apply, permuted, x)
-
-
 class SAPR(MIFGSM):
-    """Self-attention patch reweighting via random token permutation."""
+    """Self-attention patch reweighting via random token permutation
+    (``sapr.py:38-68``): every attention input has prob 0.15 of arriving
+    with its non-cls tokens permuted (one shared permutation per draw)."""
 
     rng_collections = ("surgery",)
 
     def __init__(self, model_name="vit_base_patch16_224", prob=0.15, **kwargs):
         kwargs.setdefault("attack", "SAPR")
-        surgery = ViTSurgery(
-            attn_pre=lambda x, m, r: sapr_attn_pre(x, m, r, prob)
-        )
-        model = make_model(model_name, surgery=surgery,
-                           pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        self.prob = float(prob)
+        surgery = ViTSurgery(attn_pre=self._attn_pre)
+        model = _with_surgery(model_name, surgery, kwargs)
         super().__init__(model, **kwargs)
+
+    def token_perm(self, rng, n_tokens, block):
+        """(non-cls permutation (n_tokens−1,) of values 1..N−1, apply flag)
+        per draw (``sapr.py:56-68``) — overridable seam for parity twins."""
+        k1, k2 = jax.random.split(rng)
+        perm = jax.random.permutation(k1, n_tokens - 1) + 1
+        return perm, jax.random.bernoulli(k2, self.prob)
+
+    def _attn_pre(self, x, meta, rng):
+        B, N, C = x.shape
+        perm, apply = self.token_perm(rng, N, meta["block"])
+        idx = jnp.concatenate([jnp.zeros((1,), perm.dtype), perm])
+        return jnp.where(apply, x[:, idx], x)
 
 
 class FDAP(MIFGSM):
@@ -179,9 +197,11 @@ class FDAP(MIFGSM):
                  gamma=0.1, blocks=(5, 6, 7, 8, 9), **kwargs):
         kwargs.setdefault("attack", "FDAP")
         kwargs.setdefault("alpha", 3 / 255)
-        model = make_model(model_name,
-                           pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        from ..models import resolve_model
+
+        model = resolve_model(model_name,
+                              pretrained=kwargs.pop("pretrained", True),
+                              input_size=kwargs.pop("input_size", None))
         super().__init__(model, epoch=epoch, **kwargs)
         self.beta = float(beta)
         self.gamma = float(gamma)
@@ -189,18 +209,24 @@ class FDAP(MIFGSM):
 
     def get_grad(self, variables, x, y, state: AttackState, key):
         def loss_fn(delta):
-            logits, feats = self.model.apply_with_feats(
-                variables, x + delta, "blocks_"
-            )
-            loss_div = 0.0
-            from ..models import find_feature
+            # the reference hooks ``encoder_layer_i.ln_2`` OUTPUTS
+            # (``fdap.py:37-47``) — the normalized MLP-branch input, not the
+            # block output; collect them through a pass-through surgery tap
+            feats = []
 
-            for b in self.blocks:
-                f = find_feature(feats, f"blocks_{b}")
-                if f is None:
-                    continue
-                if isinstance(f, dict):
-                    f = find_feature({"d": f}, "block_out")
+            def mlp_in_post(h, m):
+                if m["block"] in self.blocks:
+                    feats.append(h)
+                return h
+
+            from .vit_attacks2 import _rebuild_vit
+
+            module = _rebuild_vit(
+                self.model, ViTSurgery(mlp_in_post=mlp_in_post)
+            )
+            logits = module.apply(variables, x + delta)
+            loss_div = 0.0
+            for f in feats:
                 mean = f.mean(axis=1, keepdims=True)
                 r = jnp.linalg.norm(
                     (f - mean).reshape(f.shape[0], -1), axis=1

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
-from ..models import Surrogate, make_model
+from ..models import Surrogate, make_model, resolve_model
 from ..models.vit import ViTSurgery
 
 
@@ -46,13 +46,25 @@ def _probe_shapes(model, variables, x, depth):
 
 class VDC(MIFGSM):
     """Virtual dense connections (``vdc.py:10-519``): pass 1 records the
-    attn/MLP cotangents of every block; pass 2 injects depth-accumulated,
-    geometrically-damped copies into the backward as virtual skips."""
+    attn/MLP cotangents of every block in a vanilla backward; pass 2 injects
+    depth-accumulated, geometrically-damped copies into the backward as
+    virtual skips while scaling the pass-through cotangents.
+
+    Faithful hook placement (``vdc.py:355-361`` with legacy module-hook
+    semantics): the ``attn.attn_drop`` backward hook attaches to the softmax
+    node, so its grad_in[0] is the PRE-softmax scores cotangent; the
+    ``norm2`` hook's grad_in[0] is the cotangent at norm2's input through
+    the MLP branch only; the final ``norm`` hook records the last block's
+    output cotangent.  Pass 2 scales the scores cotangent ×0.25 and the
+    MLP-branch cotangent ×0.5 (``vdc.py:329-333`` gammas, compounding
+    through depth) and seeds the MLP chain's deepest add with the
+    final-norm cls-row record ×0.1×0.5 (``vdc.py:71-79``)."""
 
     def __init__(self, model_name="vit_base_patch16_224", lamb=0.1, **kwargs):
         kwargs.setdefault("attack", "VDC")
-        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        model = resolve_model(model_name,
+                              pretrained=kwargs.pop("pretrained", True),
+                              input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)
         self.lamb = float(lamb)
         self.depth = model.module.backbone.depth
@@ -62,11 +74,15 @@ class VDC(MIFGSM):
         point = x + state.delta
         attn_shape, tok_shape = _probe_shapes(self.model, variables, x, D)
 
-        # ---- pass 1: cotangent probes via zero offsets ----
+        # ---- pass 1: vanilla-backward cotangent probes via zero offsets ----
         def probed_loss(offsets, p):
+            def block_out_post(o, m):
+                return o + offsets["norm"] if m["block"] == D - 1 else o
+
             surgery = ViTSurgery(
-                attn_post=lambda a, m: a + offsets["attn"][m["block"]],
-                mlp_in_post=lambda h, m: h + offsets["mlp"][m["block"]],
+                scores_post=lambda sc, m: sc + offsets["attn"][m["block"]],
+                mlp_branch_pre=lambda h, m: h + offsets["mlp"][m["block"]],
+                block_out_post=block_out_post,
             )
             module = _rebuild_vit(self.model, surgery)
             logits = module.apply(variables, p)
@@ -75,37 +91,48 @@ class VDC(MIFGSM):
         zero_off = {
             "attn": jnp.zeros((D,) + attn_shape, x.dtype),
             "mlp": jnp.zeros((D,) + tok_shape, x.dtype),
+            "norm": jnp.zeros(tok_shape, x.dtype),
         }
         cotangents = jax.grad(probed_loss)(zero_off, point)
 
-        # depth-accumulation (``vdc.py:53-75``): walking backward (deep →
-        # shallow), block b receives the damped records of deeper blocks
-        def accumulate(recs):
+        # depth-accumulation (``vdc.py:64-117``): walking backward (deep →
+        # shallow), block b receives the damped records of deeper blocks;
+        # visit index k = D-1-b damps by 0.1·0.5^k
+        def accumulate(recs, seed=None):
             adds = []
-            acc = jnp.zeros_like(recs[0])
+            acc = jnp.zeros_like(recs[0]) if seed is None else seed
             for b in range(D - 1, -1, -1):
-                g = jax.lax.stop_gradient(recs[b]) * 0.1 * (0.5 ** (D - 1 - b))
                 adds.append(acc)
+                g = jax.lax.stop_gradient(recs[b]) * 0.1 * (0.5 ** (D - 1 - b))
                 acc = acc + g
             return jnp.stack(adds[::-1])  # index by block again
 
+        # mlp chain seed: zeros except the cls-token row = the final-norm
+        # input cotangent's cls row ×0.1×0.5 (``vdc.py:73-76``)
+        norm_cot = jax.lax.stop_gradient(cotangents["norm"])
+        seed = jnp.zeros(tok_shape, x.dtype).at[:, 0, :].set(
+            norm_cot[:, 0, :] * 0.1 * 0.5
+        )
         attn_add = accumulate(cotangents["attn"])
-        mlp_add = accumulate(cotangents["mlp"])
+        mlp_add = accumulate(cotangents["mlp"], seed=seed)
 
-        # ---- pass 2: additive injection via inner-product loss terms ----
+        # ---- pass 2: cotangent scale (forward rewrite s·p + sg((1−s)·p))
+        # plus additive injection via inner-product loss terms ----
         def loss_fn(delta):
             side = []
 
-            def attn_post(a, m):
-                side.append(jnp.sum(attn_add[m["block"]] * a))
-                return a
+            def scores_post(sc, m):
+                side.append(jnp.sum(attn_add[m["block"]] * sc))
+                return 0.25 * sc + jax.lax.stop_gradient(0.75 * sc)
 
-            def mlp_in_post(h, m):
+            def mlp_branch_pre(h, m):
                 side.append(jnp.sum(mlp_add[m["block"]] * h))
-                return h
+                return 0.5 * h + jax.lax.stop_gradient(0.5 * h)
 
             module = _rebuild_vit(
-                self.model, ViTSurgery(attn_post=attn_post, mlp_in_post=mlp_in_post)
+                self.model,
+                ViTSurgery(scores_post=scores_post,
+                           mlp_branch_pre=mlp_branch_pre),
             )
             logits = module.apply(variables, x + delta)
             return self.get_loss(logits[None], y) + sum(side)
@@ -124,8 +151,9 @@ class FPR(MIFGSM):
     def __init__(self, model_name="vit_base_patch16_224", attn_range=25.0,
                  scale=0.8, mom_decay=0.3, **kwargs):
         kwargs.setdefault("attack", "fpr")
-        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        model = resolve_model(model_name,
+                              pretrained=kwargs.pop("pretrained", True),
+                              input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)
         self.attn_range = float(attn_range)
         self.scale = float(scale)
@@ -139,17 +167,21 @@ class FPR(MIFGSM):
         zeros = jnp.zeros((self.depth,) + tok_shape, x.dtype)
         return {"attn_acc": zeros, "mlp_acc": zeros}
 
-    def _hooked_module(self, attn_acc, mlp_acc, key):
+    def attn_noise(self, key, step, block, shape, dtype):
+        """Per-head U(1−range, 1+range) map multiplier, shared over the batch
+        (``fpr.py:89-97``) — overridable seam for paired-RNG parity twins."""
+        return jax.random.uniform(
+            jax.random.fold_in(key, block), shape, dtype,
+            minval=1 - self.attn_range, maxval=1 + self.attn_range,
+        )
+
+    def _hooked_module(self, attn_acc, mlp_acc, key, step):
         def attn_post(attn, m):
             b = m["block"]
             if b not in self.noisy_blocks:
                 return attn
-            kb = jax.random.fold_in(key, b)
             N = attn.shape[-1]
-            M = jax.random.uniform(
-                kb, (attn.shape[1], N, N), attn.dtype,
-                minval=1 - self.attn_range, maxval=1 + self.attn_range,
-            )
+            M = self.attn_noise(key, step, b, (attn.shape[1], N, N), attn.dtype)
             return jax.nn.softmax(attn * M[None], axis=-1)
 
         def attn_out_post(out, m):
@@ -167,7 +199,7 @@ class FPR(MIFGSM):
     def get_grad(self, variables, x, y, state: AttackState, key):
         attn_acc = jax.lax.stop_gradient(state.extra["attn_acc"])
         mlp_acc = jax.lax.stop_gradient(state.extra["mlp_acc"])
-        module = self._hooked_module(attn_acc, mlp_acc, key)
+        module = self._hooked_module(attn_acc, mlp_acc, key, state.step)
 
         def loss_fn(delta):
             logits = module.apply(variables, x + delta)
@@ -205,8 +237,9 @@ class ATT(MIFGSM):
     def __init__(self, model_name="vit_base_patch16_224", lam=0.01, gamma=0.5,
                  crop_length=16, sample_num_patches=130, **kwargs):
         kwargs.setdefault("attack", "ATT")
-        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        model = resolve_model(model_name,
+                              pretrained=kwargs.pop("pretrained", True),
+                              input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)
         self.lam = float(lam)
         self.gamma = float(gamma)
@@ -306,8 +339,9 @@ class SETR(MIFGSM):
 
     def __init__(self, model_name="vit_base_patch16_224", **kwargs):
         kwargs.setdefault("attack", "SETR")
-        model = make_model(model_name, pretrained=kwargs.pop("pretrained", True),
-                           input_size=kwargs.pop("input_size", None))
+        model = resolve_model(model_name,
+                              pretrained=kwargs.pop("pretrained", True),
+                              input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)
         self.depth = model.module.backbone.depth
 

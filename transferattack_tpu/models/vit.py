@@ -72,6 +72,22 @@ class ViTSurgery:
     qkv_post: Optional[Callable] = None       # forward edit of the fused qkv
     q_bwd: Optional[Callable] = None      # grad of a separate q projection
                                           # (CaiT class-attention, TGR q_tgr)
+    scores_post: Optional[Callable] = None  # forward edit of PRE-softmax attn
+                                          # scores; fn(scores, meta).  VDC's
+                                          # traced per-iteration cotangent
+                                          # scale/inject lands here as the
+                                          # forward rewrite (traced closures
+                                          # cannot ride custom_vjp hooks)
+    mlp_branch_pre: Optional[Callable] = None  # forward edit of the MLP
+                                          # branch's view of the residual
+                                          # stream BEFORE norm2 (the skip path
+                                          # is untouched) — where a legacy
+                                          # backward hook on norm2 lands
+                                          # (grad_in[0] = grad w.r.t. the LN
+                                          # input through this module only)
+    block_out_post: Optional[Callable] = None  # forward edit of a block's
+                                          # output (block D-1's output is the
+                                          # final-norm input — VDC norm probe)
     skip_attn_grad: bool = False          # PNA: drop grads through attn map
 
     def __hash__(self):
@@ -81,6 +97,8 @@ class ViTSurgery:
                      id(self.mlp_hidden_post),
                      id(self.attn_out_post), id(self.mlp_out_post),
                      id(self.mlp_in_post), id(self.qkv_post), id(self.q_bwd),
+                     id(self.scores_post), id(self.mlp_branch_pre),
+                     id(self.block_out_post),
                      self.skip_attn_grad))
 
 
@@ -132,7 +150,8 @@ class Attention(nn.Module):
         # surgery (TGR et al) the head-major explicit form backprops the
         # hook's (B, h, N, N) cotangent without extra relayouts (97 vs 76).
         fast_layout = (s.scores_bwd is None and s.attn_bwd is None
-                       and s.attn_post is None and not s.skip_attn_grad)
+                       and s.attn_post is None and s.scores_post is None
+                       and not s.skip_attn_grad)
         ext_bias = None
         if fast_layout:
             qkv = qkv.reshape(B, N, 3, h, head_dim)
@@ -164,6 +183,8 @@ class Attention(nn.Module):
             # with sum(q) — the bias form is unconditional)
             attn = attn.at[..., N:].add(jnp.asarray(ext_bias, attn.dtype))
         attn = apply_bwd_hook(attn, s.scores_bwd, meta)
+        if s.scores_post is not None:
+            attn = s.scores_post(attn, meta)
         attn = jax.nn.softmax(attn, axis=-1)  # (B, h, N, N[+R])
         if s.attn_post is not None:
             attn = s.attn_post(attn, meta)
@@ -218,7 +239,13 @@ class Block(nn.Module):
         x = x + Attention(
             self.dim, self.num_heads, self.surgery, self.block_index, name="attn"
         )(LN(epsilon=1e-6, name="norm1")(x))
-        h = LN(epsilon=1e-6, name="norm2")(x)
+        h_in = x
+        if self.surgery.mlp_branch_pre is not None:
+            # the skip path keeps the untouched x: edits/cotangent rewrites
+            # here reach the residual stream only through norm2, matching a
+            # legacy backward hook's grad_in[0] on norm2
+            h_in = self.surgery.mlp_branch_pre(h_in, {"block": self.block_index})
+        h = LN(epsilon=1e-6, name="norm2")(h_in)
         if self.surgery.mlp_in_post is not None:
             h = self.surgery.mlp_in_post(h, {"block": self.block_index})
         # TGR's mlp hook fires on the gradient at the mlp-branch input
@@ -229,6 +256,8 @@ class Block(nn.Module):
             int(self.dim * self.mlp_ratio), self.dim, self.surgery,
             self.block_index, name="mlp",
         )(h)
+        if self.surgery.block_out_post is not None:
+            x = self.surgery.block_out_post(x, {"block": self.block_index})
         self.sow("intermediates", "block_out", x)
         return x
 
