@@ -28,23 +28,40 @@ def _op_hflip(seg, key):
     return seg[:, :, ::-1, :]
 
 
-def _op_perspective(seg, key, scale=0.5):
-    """RandomPerspective(0.5) (``idaa.py:81``): each output corner's source
-    is pulled inward by U(0, scale) normalized (kornia samples corner
-    offsets up to distortion_scale·half-side); homography solved by batched
-    DLT, applied as a separable per-pixel field warp."""
-    from ..ops.image import homography_field, warp_field_sep
+def _perspective_field(d, H, W):
+    """kornia RandomPerspective sampling field (``idaa.py:81``): end corners
+    = base + U(0, scale)·inward; ``warp_perspective`` inverts M internally,
+    so the output samples src at M⁻¹·p — out(end_i) = src(base_i), content
+    moves INWARD.  M⁻¹ is the homography mapping end→base, solved directly
+    by the generalized DLT."""
+    from ..ops.image import homography_field
 
-    S, H, W, _ = seg.shape
-    d = jax.random.uniform(key, (S, 4, 2), minval=0.0, maxval=scale)
+    S = d.shape[0]
     base = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
                      jnp.float32)
     inward = jnp.array([[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]],
                        jnp.float32)
-    corners = base[None] + inward[None] * d
-    dx, dy = homography_field(corners, H, W)
-    M = int(scale * W / 2) + 2
-    return warp_field_sep(seg, dx, dy, M, int(scale * H / 2) + 2)
+    end = base[None] + inward[None] * d
+    return homography_field(jnp.broadcast_to(base, (S, 4, 2)), H, W,
+                            dst_corners=end)
+
+
+def _op_perspective(seg, key, scale=0.5):
+    """RandomPerspective(0.5) (``idaa.py:81``), kornia direction (content
+    inward; the inverse map pushes corner sources outward by up to
+    d/(1−d) ≈ 1.0 normalized at scale 0.5, hence the wide clamp window).
+    Deviations from kornia, documented: bilinear separable resampling
+    instead of 'nearest' grid_sample, and edge-clamp instead of zeros
+    padding at the outward-sampling corners (gather-free TPU warps —
+    scatter backwards fault the v5e worker, BASELINE.md round 3)."""
+    S, H, W, _ = seg.shape
+    from ..ops.image import warp_field_sep
+
+    d = jax.random.uniform(key, (S, 4, 2), minval=0.0, maxval=scale)
+    dx, dy = _perspective_field(d, H, W)
+    frac = scale / (1.0 - scale)
+    M = int(frac * W / 2) + 2
+    return warp_field_sep(seg, dx, dy, M, int(frac * H / 2) + 2)
 
 
 def _op_rotation(seg, key):
@@ -86,14 +103,45 @@ def _op_resize(seg, key):
 
 
 def _op_affine(seg, key):
+    """RandomAffine((-1, 5)°, translate=(0.3, 1.0), scale=(0.4, 1.3),
+    shear=0.5 (``idaa.py:85-86``)): content sheared, rotated + scaled about
+    the center, then translated — kornia's ``get_affine_matrix2d``
+    composition order.  Documented deviations (gather-free TPU warps):
+    the vertical translate draw is clamped to ±0.3·H (the reference's
+    ±1.0·H reflection-padded translate throws most content out of frame
+    and would cost an O(H) window per shift pass), padding is zeros, and
+    resampling is separable linear rather than 'nearest'."""
+    from ..ops.image import shift_interp
+
     S, H, W, _ = seg.shape
-    k1, k2, k3 = jax.random.split(key, 3)
-    ang2 = jax.random.uniform(k1, (S,), minval=-1.0, maxval=5.0)
-    aff = rotate_shear(seg, ang2 * jnp.pi / 180,
-                       max_angle=5.5 * jnp.pi / 180)
-    tx = jax.random.uniform(k2, (S,), minval=-0.2, maxval=0.2)
-    ty = jax.random.uniform(k3, (S,), minval=-0.2, maxval=0.2)
-    return translate_sep(aff, tx, ty, max_shift=int(0.1 * W) + 2)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    ang = jax.random.uniform(k1, (S,), minval=-1.0, maxval=5.0)
+    sc = jax.random.uniform(k2, (S,), minval=0.4, maxval=1.3)
+    shear = jax.random.uniform(k3, (S,), minval=-0.5, maxval=0.5)
+    tx = jax.random.uniform(k4, (S,), minval=-0.3, maxval=0.3)
+    ty = jnp.clip(
+        jax.random.uniform(k5, (S,), minval=-1.0, maxval=1.0), -0.3, 0.3
+    )
+
+    # 1. x-shear about the center: src_x = x − tan(sh)·y_c (≤1 px at 0.5°)
+    y_c = jnp.arange(H, dtype=seg.dtype) - (H - 1) / 2.0
+    dxs = -jnp.tan(shear * jnp.pi / 180)[:, None, None] * y_c[None, :, None]
+    out = shift_interp(seg, dxs, 2, max(int(0.01 * H), 1) + 2)
+
+    # 2. scale about the center (exact linear resample, gather-free)
+    out = jax.vmap(
+        lambda img, si: jax.image.scale_and_translate(
+            img[None], (1, H, W, img.shape[-1]), (1, 2), jnp.stack([si, si]),
+            jnp.stack([H * (1 - si) / 2, W * (1 - si) / 2]),
+            method="linear")[0])(out, sc)
+
+    # 3. rotation
+    out = rotate_shear(out, ang * jnp.pi / 180, max_angle=5.5 * jnp.pi / 180)
+
+    # 4. translate: kornia fractions are of the FULL side (±0.3·W px =
+    # ±0.6 in half-side units)
+    return translate_sep(out, -2.0 * tx, -2.0 * ty,
+                         max_shift=int(0.3 * W) + 2)
 
 
 def _op_erase(seg, key):
@@ -127,23 +175,33 @@ def _op_elastic(seg, key):
                           max(int(0.15 * H), 2) + 2)
 
 
-def _op_fisheye(seg, key):
-    """RandomFisheye(±0.3 center, γ∈[0.9,1.0]) (``idaa.py:89``): barrel
-    distortion ``src = c + (p−c)(1 + γ·r²)`` with kornia's parameter
-    ranges; the outer ring whose sources fall beyond the clamp window
-    samples outside the image and is zeroed (``zero_beyond``)."""
-    from ..ops.image import _norm_grid, warp_field_sep
+def _fisheye_field(cx, cy, g, H, W):
+    """kornia RandomFisheye sampling field (``idaa.py:89``): barrel
+    distortion ``src = p + (p−c)·γ·r²`` on the normalized grid; (cx, cy, g)
+    are (S,) draws.  Returns (dx, dy) in pixels."""
+    from ..ops.image import _norm_grid
 
-    S, H, W, _ = seg.shape
-    k1, k2, k3 = jax.random.split(key, 3)
-    cx = jax.random.uniform(k1, (S, 1, 1), minval=-0.3, maxval=0.3)
-    cy = jax.random.uniform(k2, (S, 1, 1), minval=-0.3, maxval=0.3)
-    g = jax.random.uniform(k3, (S, 1, 1), minval=0.9, maxval=1.0)
+    cx = cx.reshape(-1, 1, 1)
+    cy = cy.reshape(-1, 1, 1)
+    g = g.reshape(-1, 1, 1)
     gy, gx = _norm_grid(H, W)
     rx, ry = gx[None] - cx, gy[None] - cy
     r2 = rx * rx + ry * ry
-    dx = rx * g * r2 * (W / 2.0)
-    dy = ry * g * r2 * (H / 2.0)
+    return rx * g * r2 * (W / 2.0), ry * g * r2 * (H / 2.0)
+
+
+def _op_fisheye(seg, key):
+    """RandomFisheye(±0.3 center, γ∈[0.9,1.0]) (``idaa.py:89``); the outer
+    ring whose sources fall beyond the clamp window samples outside the
+    image and is zeroed (``zero_beyond``)."""
+    from ..ops.image import warp_field_sep
+
+    S, H, W, _ = seg.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    cx = jax.random.uniform(k1, (S,), minval=-0.3, maxval=0.3)
+    cy = jax.random.uniform(k2, (S,), minval=-0.3, maxval=0.3)
+    g = jax.random.uniform(k3, (S,), minval=0.9, maxval=1.0)
+    dx, dy = _fisheye_field(cx, cy, g, H, W)
     M = int(0.4 * W) + 2
     return warp_field_sep(seg, dx, dy, M, int(0.4 * H) + 2, zero_beyond=True)
 

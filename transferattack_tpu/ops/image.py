@@ -579,15 +579,18 @@ def _norm_grid(H: int, W: int, dtype=jnp.float32):
     return jnp.meshgrid(ys, xs, indexing="ij")  # (H, W) each
 
 
-def homography_field(src_corners, H: int, W: int):
-    """Per-pixel displacement field of the homography mapping the output
-    corners (±1, ±1) to ``src_corners`` (B, 4, 2) normalized (x, y), corner
-    order (-1,-1), (1,-1), (1,1), (-1,1).  Returns (dx, dy) in pixels for
-    :func:`warp_field_sep`.  The 8×8 DLT solve is batched dense algebra —
-    no gather."""
+def homography_field(src_corners, H: int, W: int, dst_corners=None):
+    """Per-pixel displacement field of the homography T with
+    ``T(dst_corners_i) = src_corners_i`` evaluated on the output grid
+    (``dst_corners`` defaults to the output corners (±1, ±1)); corners are
+    (B, 4, 2) normalized (x, y), order (-1,-1), (1,-1), (1,1), (-1,1).
+    Returns (dx, dy) in pixels for :func:`warp_field_sep`.  The 8×8 DLT
+    solve is batched dense algebra — no gather."""
     B = src_corners.shape[0]
     base = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
                      jnp.float32)
+    if dst_corners is None:
+        dst_corners = jnp.broadcast_to(base, (B, 4, 2))
 
     def dlt_rows(p, q):
         # p: output corner (x, y); q: source corner (u, v)
@@ -597,14 +600,15 @@ def homography_field(src_corners, H: int, W: int):
         r2 = jnp.stack([0.0 * x, 0.0 * x, 0.0 * x, x, y, 1.0, -v * x, -v * y])
         return jnp.stack([r1, r2]), jnp.stack([u, v])
 
-    def solve_one(corners):
-        rows, rhs = jax.vmap(dlt_rows)(jnp.broadcast_to(base, (4, 2)), corners)
+    def solve_one(dst, corners):
+        rows, rhs = jax.vmap(dlt_rows)(dst, corners)
         A = rows.reshape(8, 8)
         b = rhs.reshape(8)
         h = jnp.linalg.solve(A, b)
         return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
 
-    Hm = jax.vmap(solve_one)(src_corners.astype(jnp.float32))  # (B, 3, 3)
+    Hm = jax.vmap(solve_one)(dst_corners.astype(jnp.float32),
+                             src_corners.astype(jnp.float32))  # (B, 3, 3)
     gy, gx = _norm_grid(H, W)
     ones = jnp.ones_like(gx)
     pts = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
