@@ -33,15 +33,20 @@ class GRA(Attack):
         # signs "flip" from the zero momentum (``gra.py:117``)
         return {"M": jnp.full_like(x, 1.0 / self.eta)}
 
+    def neighbor_noise(self, key, x, state):
+        """U(−β·eps, β·eps) sample-ball draw (``gra.py:52-60``) — overridable
+        seam for paired-RNG parity twins."""
+        return jax.random.uniform(
+            key, x.shape, x.dtype, minval=-self.radius, maxval=self.radius
+        )
+
     def step(self, variables, x, y, state: AttackState):
         key, k1, k2 = jax.random.split(state.key, 3)
         grad = self.input_grad(variables, x + state.delta, y, state, k1)
 
         def neighbor_grad(k):
             ka, kb = jax.random.split(k)
-            noise = jax.random.uniform(
-                ka, x.shape, x.dtype, minval=-self.radius, maxval=self.radius
-            )
+            noise = self.neighbor_noise(ka, x, state)
             return self.input_grad(variables, x + state.delta + noise, y, state, kb)
 
         samgrad = mean_over_keys(neighbor_grad, k2, self.num_neighbor, self.sample_chunk)

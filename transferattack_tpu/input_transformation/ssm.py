@@ -31,12 +31,18 @@ class SSM(MIFGSM):
         self.rho = float(rho)
         self.sample_chunk = int(sample_chunk)
 
-    def spectrum_point(self, x, key):
+    def spectral_draws(self, key, x, step):
+        """(gaussian eps-noise, U(1−ρ, 1+ρ) DCT mask) per sample
+        (``ssm.py:60-75``) — overridable seam for paired-RNG parity twins."""
         k1, k2 = jax.random.split(key)
         gauss = jax.random.normal(k1, x.shape, x.dtype) * self.eps
         mask = jax.random.uniform(
             k2, x.shape, x.dtype, minval=1 - self.rho, maxval=1 + self.rho
         )
+        return gauss, mask
+
+    def spectrum_point(self, x, key, step=None):
+        gauss, mask = self.spectral_draws(key, x, step)
         return idct_2d(dct_2d(x + gauss) * mask)
 
     def get_grad(self, variables, x, y, state: AttackState, key):
@@ -44,7 +50,7 @@ class SSM(MIFGSM):
         # differentiation leaf in the reference, ``ssm.py:77-91``)
         def one(k):
             point = jax.lax.stop_gradient(
-                self.spectrum_point(x + state.delta, k)
+                self.spectrum_point(x + state.delta, k, state.step)
             )
 
             def loss_fn(p):

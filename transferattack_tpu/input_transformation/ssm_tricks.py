@@ -31,13 +31,9 @@ class SSM_H(SSM):
         super().__init__(*args, **kwargs)
         self.mask_ratio = float(mask_ratio)
 
-    def spectrum_point(self, x, key):
-        k1, k2 = jax.random.split(key)
+    def spectrum_point(self, x, key, step=None):
+        gauss, mask = self.spectral_draws(key, x, step)
         H, W = x.shape[1], x.shape[2]
-        gauss = jax.random.normal(k1, x.shape, x.dtype) * self.eps
-        mask = jax.random.uniform(
-            k2, x.shape, x.dtype, minval=1 - self.rho, maxval=1 + self.rho
-        )
         lh, lw = int(H * self.mask_ratio), int(W * self.mask_ratio)
         low = jnp.zeros((H, W), x.dtype).at[:lh, :lw].set(1.0)[None, :, :, None]
         x_dct = dct_2d(x + gauss)
@@ -53,13 +49,9 @@ class SSM_P(SSM):
         super().__init__(*args, **kwargs)
         self.mask_ratio = float(mask_ratio)
 
-    def spectrum_point(self, x, key):
-        k1, k2 = jax.random.split(key)
+    def spectrum_point(self, x, key, step=None):
+        gauss, mask = self.spectral_draws(key, x, step)
         H, W = x.shape[1], x.shape[2]
-        gauss = jax.random.normal(k1, x.shape, x.dtype) * self.eps
-        mask = jax.random.uniform(
-            k2, x.shape, x.dtype, minval=1 - self.rho, maxval=1 + self.rho
-        )
         lh, lw = int(H * self.mask_ratio), int(W * self.mask_ratio)
         high = jnp.ones((H, W), x.dtype).at[:lh, :lw].set(0.0)[None, :, :, None]
         return idct_2d(dct_2d(x + gauss) * mask * high)
