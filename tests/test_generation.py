@@ -66,8 +66,9 @@ def test_fap_block_dct_roundtrip_and_gate():
         np.asarray(ycbcr_to_rgb(rgb_to_ycbcr(x))), np.asarray(x), atol=1e-4
     )
     m = zigzag_lowfreq_mask(8, 10)
-    assert m.sum() == 10
-    assert m[0, 0] == 1.0  # DC always kept
+    assert m.shape == (3, 8, 8)
+    assert m.sum() == 10  # global top-n, not per-channel
+    assert m[0, 0, 0] == 1.0  # luma DC always kept
 
 
 def test_fap_attack_runs(toy_batch):

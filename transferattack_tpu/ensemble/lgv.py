@@ -3,7 +3,8 @@
 
 LGV samples from a collection of cSGD-collected ResNet-50 weight sets each
 iteration; MBA uses a Bayesian-optimized fine-tuned set; SASD-WS attacks a
-sharpness-aware self-distilled checkpoint with random weight scaling.
+sharpness-aware self-distilled checkpoint with its conv kernels scaled once
+by the fixed factor p=0.93.
 Converted weight sets load from ``$TA_TPU_WEIGHTS_DIR/<prefix>_<i>.npz``;
 absent checkpoints fall back to gaussian-jittered base weights so the
 pipeline (and its randomness structure) still executes.
@@ -95,12 +96,16 @@ class MBA(LGV):
 
 
 class SASD_WS(MIFGSM):
-    """Targeted sharpness-aware self-distillation + weight scaling
-    (``sasd_ws.py:10-200``): each iteration randomly scales all conv kernels
-    by N(1, std); built-in DI + TI; targeted protocol (T=300, alpha=2/255)."""
+    """Sharpness-aware self-distillation + weight scaling
+    (``sasd_ws.py:10-200``): every conv kernel of the SASD checkpoint is
+    scaled ONCE by the fixed factor p=0.93 at load time (``all_scale`` →
+    ``AllScaleMethod.compute_mask`` is ``mask *= p`` with no randomness,
+    ``sasd_ws.py:137-200``, made permanent by ``prune.remove``); built-in
+    DI (resize 1.1, prob 0.7) + TI (gkern 5/3, padding 2); targeted
+    protocol T=300, alpha=2/255 (``sasd_ws.py:29``)."""
 
     def __init__(self, model_name="resnet50", epoch=300, eps=16 / 255, alpha=2 / 255,
-                 decay=1.0, scale_std=0.05, resize_rate=1.1, diversity_prob=0.7,
+                 decay=1.0, p=0.93, resize_rate=1.1, diversity_prob=0.7,
                  kernel_size=5, ckpt_name="sasd_resnet50", targeted=True,
                  random_start=False, norm="linfty", loss="crossentropy",
                  attack="SASD_WS", **kwargs):
@@ -113,10 +118,15 @@ class SASD_WS(MIFGSM):
         else:
             record_fallback(ckpt_name)
             warnings.warn(f"SASD_WS: checkpoint {path} not found; base weights used.")
+        # the fixed weight-scaling step (conv kernels only — the reference
+        # filters ``type(m) == nn.Conv2d``; 4-d leaves are exactly those here)
+        model.variables = jax.tree.map(
+            lambda l: l * p if getattr(l, "ndim", 0) == 4 else l, model.variables
+        )
         super().__init__(model, epoch=epoch, eps=eps, alpha=alpha, decay=decay,
                          targeted=targeted, random_start=random_start, norm=norm,
                          loss=loss, attack=attack, **kwargs)
-        self.scale_std = float(scale_std)
+        self.p = float(p)
         self.resize_rate = float(resize_rate)
         self.diversity_prob = float(diversity_prob)
         self.kernel = gaussian_kernel(int(kernel_size))
@@ -126,24 +136,3 @@ class SASD_WS(MIFGSM):
 
     def post_grad(self, grad, state: AttackState):
         return smooth_conv(grad, self.kernel)
-
-    def get_grad(self, variables, x, y, state: AttackState, key):
-        k1, k2 = jax.random.split(key)
-        params = variables["params"]
-        leaves, treedef = jax.tree.flatten(params)
-        ks = jax.random.split(k1, len(leaves))
-        scaled = [
-            l * (1.0 + self.scale_std * jax.random.normal(k, (), l.dtype))
-            if l.ndim == 4 else l
-            for l, k in zip(leaves, ks)
-        ]
-        v = {**variables, "params": jax.tree.unflatten(treedef, scaled)}
-
-        def loss_fn(delta):
-            xs = self.transform(x + delta, state, k2)
-            logits = self.model.apply(
-                v, xs.reshape((-1,) + x.shape[1:])
-            )
-            return self.get_loss(logits[None], y)
-
-        return jax.grad(loss_fn)(state.delta), {}

@@ -1,11 +1,18 @@
 """FAP — frequency-aware perturbation (reference:
 ``transferattack/generation/fap.py``).
 
-Iterative attack whose delta passes through a frequency gate: 8×8 block DCT
-in YCbCr space, keeping only the top-n most important coefficients per
-channel.  Importance comes from gradient magnitudes over a background image
-set (the reference also tries SHAP); with no background directory a low-
-frequency zigzag mask is used.  Block DCTs are MXU matmuls via ``ops.dct``.
+Iterative attack whose delta passes through a frequency gate before the
+forward: RGB → YCbCr, ONE full-image 2-D DCT, the coefficient plane tiled
+into 8×8 blocks, every tile multiplied by the same per-channel (3, 8, 8)
+mask, untiled, inverse-DCT, YCbCr → RGB, clamp (``fap.py:108-126`` — note
+the reference DCTs the whole image and blockifies the COEFFICIENT plane,
+``_dct_2d_safe`` → ``blockify``; it is not a per-block DCT).  The mask keeps
+the top-n globally most important coefficients, importance = mean |tiled
+DCT of the input gradient| over a background set (``fap.py:160-190``; the
+reference also tries SHAP first).  Elementwise masks commute with the
+diagonal scaling between the reference's unnormalized SSA DCT pair and our
+orthonormal matmul DCT, so the gate is exactly equivalent — and one big
+(H, H) matmul per axis on the MXU instead of FFT machinery.
 """
 from __future__ import annotations
 
@@ -16,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attack import Attack, AttackState
-from ..ops.dct import _dct_matrix
+from ..ops import dct_2d, idct_2d
 
 _RGB2YCBCR = np.array(
     [[0.299, 0.587, 0.114],
@@ -34,31 +41,39 @@ def ycbcr_to_rgb(x):
     return jnp.einsum("bhwc,dc->bhwd", x, jnp.asarray(_YCBCR2RGB, x.dtype))
 
 
+def tile_coeffs(v, block: int):
+    """(B, H, W, C) coefficient plane → (B, nh, nw, block, block, C) tiles
+    (the reference's ``blockify`` on the DCT output, ``fap.py:315-322``)."""
+    B, H, W, C = v.shape
+    t = v.reshape(B, H // block, block, W // block, block, C)
+    return t.transpose(0, 1, 3, 2, 4, 5)
+
+
+def untile_coeffs(t, block: int, H: int, W: int):
+    B, C = t.shape[0], t.shape[-1]
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+# backwards-compatible aliases (tests exercise the tiling round-trip)
 def block_dct(x, block: int):
-    """(B, H, W, C) → (B, nh, nw, block, block, C) per-block DCT-II."""
-    B, H, W, C = x.shape
-    D = jnp.asarray(_dct_matrix(block), x.dtype)
-    blocks = x.reshape(B, H // block, block, W // block, block, C)
-    blocks = blocks.transpose(0, 1, 3, 2, 4, 5)  # (B, nh, nw, bh, bw, C)
-    out = jnp.einsum("ij,bnmjkc->bnmikc", D, blocks)
-    return jnp.einsum("kl,bnmikc->bnmilc", D, out.transpose(0, 1, 2, 3, 4, 5))
+    """Tiled full-image DCT (see module docstring)."""
+    return tile_coeffs(dct_2d(x), block)
 
 
 def block_idct(u, block: int, H: int, W: int):
-    D = jnp.asarray(_dct_matrix(block), u.dtype)
-    out = jnp.einsum("ji,bnmjkc->bnmikc", D, u)
-    out = jnp.einsum("kj,bnmijc->bnmikc", D, out)
-    B = u.shape[0]
-    C = u.shape[-1]
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+    return idct_2d(untile_coeffs(u, block, H, W))
 
 
 def zigzag_lowfreq_mask(block: int, top_n: int) -> np.ndarray:
-    """Keep the top_n lowest (i+j)-order coefficients (fallback mask)."""
-    order = np.add.outer(np.arange(block), np.arange(block)).reshape(-1)
-    keep = np.zeros(block * block, np.float32)
+    """Keep the top_n globally-lowest (channel, i+j)-order coefficients of
+    the (3, block, block) stack (fallback when no background set exists —
+    the reference cannot run at all then; luma coefficients rank first at
+    equal zigzag order, mirroring where gradient energy concentrates)."""
+    order = np.add.outer(np.arange(block), np.arange(block))
+    order = np.stack([order * 3 + c for c in range(3)]).reshape(-1)
+    keep = np.zeros(3 * block * block, np.float32)
     keep[np.argsort(order, kind="stable")[:top_n]] = 1.0
-    return keep.reshape(block, block)
+    return keep.reshape(3, block, block)
 
 
 class FAP(Attack):
@@ -82,11 +97,16 @@ class FAP(Attack):
         self._freq_mask = None
 
     def _grad_importance_mask(self):
-        """Per-channel mean |block-DCT of input grad| over background images
-        (``fap.py:160-190``); top_n coefficients kept."""
+        """Mean |tiled full-image DCT of the input grad| over background
+        images (``fap.py:160-182``), then ONE global top-n over the
+        flattened (3, block, block) map (``fap.py:184-188`` — per-channel
+        top-n would keep 3× as many coefficients)."""
         from ..utils.data import AdvDataset
 
-        ds = AdvDataset(input_dir=self.bg_dir)
+        # background images at the surrogate's native resolution (the
+        # reference loads its AdvDataset at the dataset's 224)
+        s = getattr(self.model, "input_size", None) or 224
+        ds = AdvDataset(input_dir=self.bg_dir, size=(s, s))
         imp = np.zeros((3, self.block, self.block), np.float32)
         count = 0
 
@@ -104,35 +124,32 @@ class FAP(Attack):
             if count >= self.bg_num:
                 break
             g = grad_at(jnp.asarray(xs), jnp.asarray(ys))
-            u = block_dct(rgb_to_ycbcr(g), self.block)
+            u = tile_coeffs(dct_2d(rgb_to_ycbcr(g)), self.block)
             imp += np.asarray(
                 jnp.abs(u).mean(axis=(0, 1, 2)).transpose(2, 0, 1)
             )
             count += len(xs)
-        mask = np.zeros_like(imp)
-        for c in range(3):
-            flat = imp[c].reshape(-1)
-            keep = np.argsort(flat)[::-1][: self.top_n]
-            m = np.zeros_like(flat)
-            m[keep] = 1.0
-            mask[c] = m.reshape(self.block, self.block)
-        return mask
+        flat = imp.reshape(-1)
+        keep = np.argsort(flat)[::-1][: self.top_n]
+        mask = np.zeros_like(flat)
+        mask[keep] = 1.0
+        return mask.reshape(3, self.block, self.block)
 
     def freq_mask(self):
         if self._freq_mask is None:
             if self.bg_dir and os.path.isdir(self.bg_dir):
                 mask = self._grad_importance_mask()
             else:
-                mask = np.stack([zigzag_lowfreq_mask(self.block, self.top_n)] * 3)
+                mask = zigzag_lowfreq_mask(self.block, self.top_n)
             self._freq_mask = jnp.asarray(mask.transpose(1, 2, 0))  # (b,b,C)
         return self._freq_mask
 
     def gate_delta(self, delta):
-        """YCbCr block-DCT gate (``fap.py:108-128``)."""
+        """YCbCr full-image DCT, tiled mask, IDCT (``fap.py:108-126``)."""
         H, W = delta.shape[1], delta.shape[2]
-        v = block_dct(rgb_to_ycbcr(delta), self.block)
+        t = tile_coeffs(dct_2d(rgb_to_ycbcr(delta)), self.block)
         mask = self.freq_mask()[None, None, None]
-        rgb = ycbcr_to_rgb(block_idct(v * mask, self.block, H, W))
+        rgb = ycbcr_to_rgb(idct_2d(untile_coeffs(t * mask, self.block, H, W)))
         return jnp.clip(rgb, 0.0, 1.0)
 
     def get_grad(self, variables, x, y, state: AttackState, key):

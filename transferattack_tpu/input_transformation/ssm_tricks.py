@@ -2,8 +2,9 @@
 ``transferattack/input_transformation/{ssm_with_tricks.py,odi/odi.py}``).
 
 SSM_H: spectral mask applied only to high frequencies (lowest 5% DCT corner
-passes untouched).  SSM_P: everything outside the low-frequency corner is
-masked-and-perturbed, the corner zeroed.  (The reference registry maps
+passes untouched; 20-sample point-gradient estimator like SSM).  SSM_P:
+single sample per iteration, gradient through the DCT chain, and the mask
+zeroed over the low-row/low-column bands.  (The reference registry maps
 ``ssm_p`` to a mismatched class name — SURVEY.md §2.2 flags it; both
 variants are implemented faithfully here.)
 
@@ -19,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..attack import AttackState
+from ..gradient.mifgsm import MIFGSM
 from ..ops import affine_warp, dct_2d, idct_2d, gaussian_kernel, smooth_conv
 from .ssm import SSM
 
@@ -41,8 +43,15 @@ class SSM_H(SSM):
 
 
 class SSM_P(SSM):
-    """Pixel-trick SSM (``ssm_with_tricks.py:228-330``): the low-frequency
-    corner is zeroed; everything else spectrally masked."""
+    """Block-wise SSM (``ssm_with_tricks.py:228-330``).  Three faithful
+    departures from the SSM base: the spectral mask is zeroed on the low-row
+    AND low-column bands (``high_frequency_mask[:, :, lh:, lw:] = 1``, so a
+    coefficient survives only if both its row and column clear the 5% band —
+    :275-281); each iteration draws ONE spectrum sample (the ``num_scale``
+    argument is accepted but unused, exactly as in the reference forward
+    :285-320); and the gradient is taken w.r.t. delta THROUGH the DCT chain
+    (``self.get_grad(loss, delta)`` at :312) rather than at the transformed
+    point — the base engine's transform-path autodiff gives that for free."""
 
     def __init__(self, *args, mask_ratio=0.05, **kwargs):
         kwargs.setdefault("attack", "SSM_P")
@@ -53,8 +62,16 @@ class SSM_P(SSM):
         gauss, mask = self.spectral_draws(key, x, step)
         H, W = x.shape[1], x.shape[2]
         lh, lw = int(H * self.mask_ratio), int(W * self.mask_ratio)
-        high = jnp.ones((H, W), x.dtype).at[:lh, :lw].set(0.0)[None, :, :, None]
-        return idct_2d(dct_2d(x + gauss) * mask * high)
+        band = jnp.zeros((H, W), x.dtype).at[lh:, lw:].set(1.0)[None, :, :, None]
+        return idct_2d(dct_2d(x + gauss) * mask * band)
+
+    def transform(self, x, state: AttackState, key):
+        return self.spectrum_point(x, key, state.step)[None]
+
+    # one sample per iteration, differentiated through the chain — the
+    # inherited MIFGSM.get_grad over ``transform`` is exactly the reference
+    # semantics, so SSM's point-gradient estimator is overridden away.
+    get_grad = MIFGSM.get_grad
 
 
 class ODI(SSM):

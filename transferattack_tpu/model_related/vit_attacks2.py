@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
@@ -331,19 +332,89 @@ class ATT(MIFGSM):
         return grad, {"var_ref": var_ref}
 
 
+class TRMHead(nn.Module):
+    """Token-refinement head (``setr_networks/deit_ensemble.py:17-59``).
+    The reference assigns ``self.conv``/``self.bn`` twice — the second
+    assignment overwrites the first, so ONE shared conv/bn pair is applied
+    twice; the shortcut is the identity (stride 1, expansion 1); the
+    hardcoded 14×14 avg_pool over the 14×14 patch grid is a global mean."""
+
+    @nn.compact
+    def __call__(self, tokens):
+        cls_tok, patches = tokens[:, 0], tokens[:, 1:]
+        B, N, D = patches.shape
+        s = int(round(N ** 0.5))
+        p = patches.reshape(B, s, s, D)
+        conv = nn.Conv(D, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                       name="conv")
+        bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn")
+        f = nn.relu(bn(conv(p)))
+        f = bn(conv(f))
+        f = nn.relu(f + p)
+        pooled = f.mean(axis=(1, 2))
+        return pooled + nn.Dense(D, name="token_fc")(cls_tok)
+
+
+class TRMHeads(nn.Module):
+    """The 11 refinement heads of ``VisionTransformer_hierarchical``
+    (``deit_ensemble.py:70-73``), one per non-final block."""
+
+    depth: int = 11
+
+    @nn.compact
+    def __call__(self, token_list):
+        return [
+            TRMHead(name=f"transformerheads_{i}")(t)
+            for i, t in enumerate(token_list)
+        ]
+
+
 class SETR(MIFGSM):
     """Self-ensemble + token refinement (``setr.py:7-111`` +
-    ``setr_networks/``): classify every block's cls token through the shared
-    final norm+head and average the losses — the vendored 1,933-LoC
-    per-architecture forks reduce to block_out intermediates."""
+    ``setr_networks/``).  The reference default (``trm=True``, setr.py:33)
+    classifies every non-final block's final-norm'd tokens through a
+    learned TransformerHead then the shared classifier, plus the normal
+    final logits, and SUMS the losses (``setr.py:62-73``).  TRM weights
+    come from the converted ATViT checkpoint
+    (``$TA_TPU_WEIGHTS_DIR/setr_trm_<model>.npz``); without it the attack
+    falls back to the ``trm=False`` self-ensemble (``deit.py:68-118``:
+    shared final norm + head on every block's cls token, summed), which
+    needs no extra weights — the vendored 1,933-LoC per-architecture forks
+    reduce to block_out intermediates either way."""
 
-    def __init__(self, model_name="vit_base_patch16_224", **kwargs):
+    def __init__(self, model_name="vit_base_patch16_224", trm=True, **kwargs):
         kwargs.setdefault("attack", "SETR")
         model = resolve_model(model_name,
                               pretrained=kwargs.pop("pretrained", True),
                               input_size=kwargs.pop("input_size", None))
         super().__init__(model, **kwargs)
         self.depth = model.module.backbone.depth
+        self.trm = TRMHeads(depth=self.depth - 1) if trm else None
+        self.trm_vars = None
+        if trm:
+            import os
+            import warnings
+
+            from ..models import load_npz_variables
+            from ..utils.weights_manifest import record_fallback
+
+            root = os.environ.get("TA_TPU_WEIGHTS_DIR",
+                                  os.path.join(os.getcwd(), "weights"))
+            path = os.path.join(root, f"setr_trm_{model_name}.npz")
+            if os.path.exists(path):
+                self.trm_vars = load_npz_variables(path)
+            else:
+                record_fallback(f"setr_trm_{model_name}")
+                warnings.warn(
+                    f"SETR: TRM checkpoint {path} missing; falling back to "
+                    "the trm=False self-ensemble loss.")
+
+    def _final_norm(self, tok, bparams):
+        nvar = bparams["norm"]
+        mean = tok.mean(-1, keepdims=True)
+        var = tok.var(-1, keepdims=True)
+        tok = (tok - mean) / jnp.sqrt(var + 1e-6)
+        return tok * nvar["scale"] + nvar["bias"]
 
     def get_grad(self, variables, x, y, state: AttackState, key):
         from ..attack import softmax_cross_entropy
@@ -353,25 +424,27 @@ class SETR(MIFGSM):
             logits, feats = self.model.apply_with_feats(
                 variables, x + delta, "__nocapture__"
             )
-            total = softmax_cross_entropy(logits, y).mean()
             bparams = variables["params"]["backbone"]
-            count = 1
-            for b in range(self.depth):
+            head = bparams["head"]
+            # final logits = head(norm(x_final)[:, 0]) — the model output
+            total = softmax_cross_entropy(logits, y).mean()
+            toks = []
+            for b in range(self.depth - 1):
                 tok = find_feature(feats, f"blocks_{b}")
                 if isinstance(tok, dict):
                     tok = find_feature({"d": tok}, "block_out")
                 if tok is None:
                     continue
-                cls = tok[:, 0]
-                nvar = bparams["norm"]
-                mean = cls.mean(-1, keepdims=True)
-                var = cls.var(-1, keepdims=True)
-                cls = (cls - mean) / jnp.sqrt(var + 1e-6)
-                cls = cls * nvar["scale"] + nvar["bias"]
-                blogits = cls @ bparams["head"]["kernel"] + bparams["head"]["bias"]
-                total = total + softmax_cross_entropy(blogits, y).mean()
-                count += 1
-            ce = total / count
-            return -ce if self.targeted else ce
+                toks.append(self._final_norm(tok, bparams))
+            if self.trm_vars is not None:
+                refined = self.trm.apply(self.trm_vars, toks)
+                for out in refined:
+                    blogits = out @ head["kernel"] + head["bias"]
+                    total = total + softmax_cross_entropy(blogits, y).mean()
+            else:
+                for tok in toks:
+                    blogits = tok[:, 0] @ head["kernel"] + head["bias"]
+                    total = total + softmax_cross_entropy(blogits, y).mean()
+            return -total if self.targeted else total
 
         return jax.grad(loss_fn)(state.delta), {}
