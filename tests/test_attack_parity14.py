@@ -307,3 +307,60 @@ def test_dsva_generator_delta_mapping():
     ours = np.asarray(atk(x, y))
     np.testing.assert_allclose(ours, ref, atol=6e-3)
     assert float(np.abs(ours - ref).mean()) < 1e-3
+
+
+def test_ags_feature_dissimilarity_loop_parity():
+    """AGS trajectory (``ags.py:77-128``): labels unused; loss = 1 −
+    cos(layer2(x), layer2(x+δ)) against the CLEAN feature recorded once;
+    RAW grad-sign steps (``update_delta(delta, data, grad, alpha)`` — no
+    momentum), alpha=1/255.  The random start is PAIRED through a pre-drawn
+    init (at δ=0 the cosine loss sits exactly at its maximum and the
+    gradient is fp noise — the reference's random_start=True is
+    load-bearing, not cosmetic)."""
+    import jax.numpy as jnp
+
+    import transferattack_tpu as ta
+
+    tmodel, _, surrogate = _fresh_pair(146)
+    rng = np.random.RandomState(146)
+    B, epoch, alpha = 2, 8, 1.0 / 255
+    x = rng.rand(B, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (B,)).astype(np.int32)
+
+    feats = {}
+    h = tmodel.layer2.register_forward_hook(
+        lambda m, i, o: feats.__setitem__("f", o))
+
+    xt = torch.from_numpy(x)
+    _ = torch_forward(tmodel, xt)
+    mid0 = feats["f"].detach().reshape(B, -1)
+    d0 = rng.uniform(-EPS, EPS, size=x.shape).astype(np.float32)
+    d0 = np.clip(x + d0, 0, 1) - x  # init_delta's box projection
+    delta = torch.from_numpy(d0)
+    for _ in range(epoch):
+        d = delta.clone().requires_grad_(True)
+        _ = torch_forward(tmodel, xt + d)
+        mid = feats["f"].reshape(B, -1)
+        loss = (1.0 - F.cosine_similarity(mid0, mid)).mean()
+        grad = torch.autograd.grad(loss, d)[0]
+        delta = torch.clamp(delta + alpha * grad.sign(), -EPS, EPS)
+        delta = torch.clamp(xt + delta, 0, 1) - xt
+    h.remove()
+    ref = delta.numpy()
+
+    import warnings
+
+    AGS = ta.load_attack_class("ags")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = AGS(model_name="ags_twin", base_arch="resnet18",
+                  pretrained=False, input_size=64, epoch=epoch, alpha=alpha,
+                  random_start=False)
+
+    import jax.numpy as jnp2
+    jd0 = jnp2.asarray(d0)
+    atk.init_delta = lambda xx, key: jd0
+    atk.model = surrogate
+    ours = np.asarray(atk(x, y))
+    agree = _sign_agree(ref, ours)
+    assert agree > 0.98, f"AGS delta sign agreement {agree:.4f}"

@@ -206,3 +206,115 @@ def test_mask_relu_and_sep_maxpool_match_defaults():
         rows, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
         [(0, 0), (0, 0), (1, 1), (0, 0)])
     np.testing.assert_allclose(np.asarray(sep), np.asarray(joint))
+
+
+def test_convert_cli_dispatch_ckpt_surrogates(tmp_path, monkeypatch):
+    """The documented conversion path (CLAUDE.md / weights manifest) for
+    fine-tuned-checkpoint surrogates: ``convert_and_save`` must infer the
+    zoo architecture behind '<family>_<arch>' npz names (``dsm_resnet18``,
+    ``lgv_resnet50_3``, ``at_resnet50_4px``) and strip DataParallel /
+    robustness-lib wrappers (``dsm.py:66-77``)."""
+    import torch
+
+    from tests.test_torch_parity import TorchResNet18
+    from transferattack_tpu.models import load_npz_variables
+    from transferattack_tpu.utils.convert import _ckpt_arch, convert_and_save
+
+    assert _ckpt_arch("dsm_resnet18") == "resnet18"
+    assert _ckpt_arch("lgv_resnet50_3") == "resnet50"
+    assert _ckpt_arch("at_resnet50_4px") == "resnet50"
+    assert _ckpt_arch("ags_comics") == "resnet50"
+    assert _ckpt_arch("resnet18") == "resnet18"
+    assert _ckpt_arch("nonsense_name") is None
+
+    monkeypatch.setenv("TA_TPU_WEIGHTS_DIR", str(tmp_path))
+    torch.manual_seed(77)
+    t = TorchResNet18().eval()
+    sd = {"module." + k: v for k, v in t.state_dict().items()}
+    p = tmp_path / "SD_resnet18_cutmix.pth.tar"
+    torch.save(sd, p)
+    out = convert_and_save("dsm_resnet18", str(p), out_dir=str(tmp_path))
+    assert out.endswith("dsm_resnet18.npz")
+    v = load_npz_variables(out)
+    kern = v["params"]["backbone"]["conv1"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(kern),
+        t.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        atol=1e-6)
+
+
+def test_convert_cli_dispatch_ags_trunk(tmp_path):
+    """AGS checkpoints hold a Basic_SSL_Model: the trunk's ``f.N`` indices
+    must land on the resnet module names and the projection head ``g`` be
+    ignorable at reconcile (``ags.py:131-141``)."""
+    import torch
+
+    from tests.test_torch_parity import TorchResNet18
+    from transferattack_tpu.utils.convert import torch_state_dict_to_flax
+
+    torch.manual_seed(78)
+    t = TorchResNet18().eval()
+    remap = {"conv1": "f.0", "bn1": "f.1", "layer1": "f.4",
+             "layer2": "f.5", "layer3": "f.6", "layer4": "f.7"}
+    sd = {}
+    for k, vv in t.state_dict().items():
+        head = k.split(".", 1)[0]
+        if head == "fc":
+            continue  # Basic_SSL_Model drops the Linear
+        rest = k.split(".", 1)[1]
+        sd[f"{remap[head]}.{rest}"] = vv
+    sd["g.0.weight"] = torch.zeros(512, 512)  # projection head (unused)
+    conv = torch_state_dict_to_flax(sd, prefix="")
+    params = conv["params"]
+    assert "conv1" in params and "bn1" in params
+    for i in (1, 2, 3, 4):
+        assert f"layer{i}_0" in params, sorted(params)[:8]
+    np.testing.assert_allclose(
+        np.asarray(params["layer2_0"]["conv1"]["kernel"]),
+        t.state_dict()["layer2.0.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        atol=1e-6)
+
+
+def test_convert_cli_dispatch_aux(tmp_path):
+    """``convert_aux`` round-trips the ATTA CNN (official Sequential
+    wrapper prefix '1.' stripped) and ``convert_stm_embeddings`` factors
+    the PBN covariance (``stm.py:273-282``)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from tests.test_auxnet_parity import TATTAModel
+    from transferattack_tpu.input_transformation.learned import ATTAModel
+    from transferattack_tpu.models import load_npz_variables
+    from transferattack_tpu.utils.convert import (
+        convert_aux, convert_stm_embeddings,
+    )
+
+    torch.manual_seed(79)
+    tm = TATTAModel().eval()
+    sd = {"1." + k: v for k, v in tm.state_dict().items()}
+    p = tmp_path / "atta_model_weight.pth"
+    torch.save(sd, p)
+    out = convert_aux("atta_model", str(p), out_dir=str(tmp_path))
+    variables = load_npz_variables(out)
+    x = np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32)
+    j = np.asarray(ATTAModel().apply(variables, jnp.asarray(x)))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(j, tout.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+    rng = np.random.RandomState(3)
+    m = rng.rand(100, 100).astype(np.float32)
+    cov = m @ m.T
+    torch.save({"pbn_embedding_mean": torch.from_numpy(
+                    rng.rand(1, 100).astype(np.float32)),
+                "pbn_embedding_covariance": torch.from_numpy(cov)},
+               tmp_path / "checkpoint_embeddings.pth")
+    out2 = convert_stm_embeddings(str(tmp_path / "checkpoint_embeddings.pth"),
+                                  out_dir=str(tmp_path))
+    emb = np.load(out2)
+    A = emb["A"]
+    np.testing.assert_allclose(A @ A.T, cov, rtol=1e-3, atol=1e-3)

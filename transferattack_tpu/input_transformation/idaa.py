@@ -477,38 +477,53 @@ class EverywhereAttack(Attack):
         denom = jnp.sum(jnp.abs(grad), axis=(1, 2, 3), keepdims=True)
         return momentum * self.decay + grad / (denom + 1e-12)
 
-    def get_grad(self, variables, x, y, state: AttackState, key):
+    # --- RNG seams (overridable for paired-bank parity twins) -----------
+    def region_select(self, key, step):
+        return jax.random.permutation(key, 9)[: self.sample_num]
+
+    def layer_perm(self, key, i, B, step):
+        return jax.random.permutation(jax.random.fold_in(key, i), B)
+
+    def mix_draws(self, key, i, n, B, C, dtype, step):
+        ka, kb = jax.random.split(jax.random.fold_in(key, i))
+        do = jax.random.bernoulli(ka, self.mix_prob)  # scalar per layer
+        ratio = jax.random.uniform(kb, (n, B, 1, 1, C), dtype,
+                                   maxval=self.mix_upper)
+        return do, ratio
+
+    def di(self, flat, key, step):
         from ..advanced_objective.cfm import di_keepresolution
+
+        return di_keepresolution(flat, key, self.di_margin, self.di_prob)
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
         from ..models import tap_key
 
         B, H, W, _ = x.shape
         n = self.sample_num + 1
         ksel, kperm, kdi, kmix = jax.random.split(key, 4)
         masks = self._masks(H, W)
-        sel = jax.random.permutation(ksel, 9)[: self.sample_num]
+        sel = self.region_select(ksel, state.step)
         groups = jnp.concatenate(
             [jnp.zeros((1,), sel.dtype), sel + 1])  # clean-feature group ids
         mean = jnp.asarray(self._MEAN, x.dtype)
 
         taps = {}
         for i, layer in enumerate(self.layers):
-            kl = jax.random.fold_in(kmix, i)
             clean = state.extra[f"clean_{layer}"]  # (10, B, h, w, c)
             # fresh batch permutation per tapped layer — the reference hook
             # draws torch.randperm per hooked layer per forward
             # (everywhere.py:139); granularity adaptation: per block-tap
             # layer here vs per hooked conv/linear there
-            perm_i = jax.random.permutation(jax.random.fold_in(kperm, i), B)
+            perm_i = self.layer_perm(kperm, i, B, state.step)
+            do_i, ratio_i = self.mix_draws(
+                kmix, i, n, B, clean.shape[-1], x.dtype, state.step)
 
-            def tap(feat, clean=clean, kl=kl, perm=perm_i):
-                ka, kb = jax.random.split(kl)
+            def tap(feat, clean=clean, perm=perm_i, do=do_i, ratio=ratio_i):
                 fb = feat.reshape((n, B) + feat.shape[1:])
                 prev = clean[groups][:, perm].astype(fb.dtype)
-                ratio = jax.random.uniform(
-                    kb, (n, B, 1, 1, fb.shape[-1]), fb.dtype,
-                    maxval=self.mix_upper)
-                mixed = (1.0 - ratio) * fb + ratio * prev
-                do = jax.random.bernoulli(ka, self.mix_prob)  # scalar/layer
+                mixed = (1.0 - ratio.astype(fb.dtype)) * fb \
+                    + ratio.astype(fb.dtype) * prev
                 return jnp.where(do, mixed, fb).reshape(feat.shape)
 
             taps[tap_key(layer)] = tap
@@ -519,7 +534,7 @@ class EverywhereAttack(Attack):
             views = sel_m * xadv[None] + (1.0 - sel_m) * mean
             allv = jnp.concatenate([xadv[None], views], axis=0)
             flat = allv.reshape((-1,) + x.shape[1:])
-            flat = di_keepresolution(flat, kdi, self.di_margin, self.di_prob)
+            flat = self.di(flat, kdi, state.step)
             logits = self.model.apply(variables, flat, tap_fns=taps)
             picked = jnp.take_along_axis(
                 logits, jnp.tile(y, n)[:, None], axis=-1)

@@ -68,16 +68,75 @@ class MTA(CheckpointSurrogateAttack):
 
 
 class DSM(CheckpointSurrogateAttack):
-    """Distillation-trained ResNet (``dsm.py``)."""
-
-    ckpt_name = "dsm_resnet50"
-
-
-class AGS(CheckpointSurrogateAttack):
-    """Adversary-centric contrastive ResNet-18 (``ags.py``)."""
+    """Dark-surrogate distilled ResNet-18 (``dsm.py:60``: the checkpoint
+    loads into ``models.__dict__['resnet18']``)."""
 
     base_arch = "resnet18"
-    ckpt_name = "ags_resnet18"
+    ckpt_name = "dsm_resnet18"
+
+
+class AGS(MIFGSM):
+    """Affordable & generalizable substitute training (``ags.py:11-160``).
+
+    The surrogate is the SSL ResNet-50 trunk of ``Basic_SSL_Model``
+    (checkpoints ags_coco / ags_comics / ags_paintings — ``f`` holds the
+    headless torchvision resnet50 children, so ``f._modules['5']`` is
+    layer2).  Labels are unused: the loss maximizes feature dissimilarity
+    ``1 − cos(f₅(x), f₅(x+δ))`` against the CLEAN image's feature recorded
+    once before the loop (``ags.py:99-116``), and each step uses the RAW
+    gradient sign — ``update_delta(delta, data, grad, alpha)`` with no
+    momentum (``ags.py:119-121``); random start, alpha=1/255, epoch=300,
+    eps=16/255 (the ctor default; the docstring's 25.5/255 is not what the
+    shipped code passes)."""
+
+    def __init__(self, model_name="ags_coco", epoch=300, eps=16 / 255,
+                 alpha=1.0 / 255, decay=1.0, feature_layer="layer2",
+                 targeted=False, random_start=True, norm="linfty",
+                 loss="crossentropy", attack="AGS", **kwargs):
+        pretrained = kwargs.pop("pretrained", True)
+        input_size = kwargs.pop("input_size", None)
+        model = make_model(kwargs.pop("base_arch", "resnet50"),
+                           pretrained=pretrained, input_size=input_size)
+        root = os.environ.get(
+            "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+        )
+        path = os.path.join(root, f"{model_name}.npz")
+        if os.path.exists(path):
+            model.variables = load_npz_variables(path)
+        else:
+            record_fallback(model_name)
+            warnings.warn(
+                f"AGS: checkpoint {path} not found; running with base "
+                "weights (convert the official SSL trunk for ASR parity)."
+            )
+        # decay=0 ⇒ sign(momentum) = sign(raw grad): the reference's
+        # momentum-free update, expressed in the shared engine
+        super().__init__(model, epoch=epoch, eps=eps, alpha=alpha, decay=0.0,
+                         targeted=targeted, random_start=random_start,
+                         norm=norm, loss=loss, attack=attack, **kwargs)
+        self.feature_layer = feature_layer
+
+    def init_extra(self, x, y):
+        _, mid0 = self.model.feature(
+            self.model.variables, x, self.feature_layer
+        )
+        return {"mid0": jax.lax.stop_gradient(mid0)}
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        mid0 = state.extra["mid0"].reshape(x.shape[0], -1)
+
+        def loss_fn(delta):
+            _, mid = self.model.feature(
+                variables, x + delta, self.feature_layer
+            )
+            mid = mid.reshape(x.shape[0], -1)
+            cos = (mid * mid0).sum(-1) / (
+                jnp.linalg.norm(mid, axis=-1)
+                * jnp.linalg.norm(mid0, axis=-1) + 1e-12
+            )
+            return (1.0 - cos).mean()
+
+        return jax.grad(loss_fn)(state.delta), {}
 
 
 class MA(CheckpointSurrogateAttack):

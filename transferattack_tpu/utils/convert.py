@@ -96,6 +96,15 @@ _REWRITES = [
     (re.compile(r"(upsampl\d)_0(?=/)"), r"\1_conv"),
     (re.compile(r"(upsampl\d)_1(?=/)"), r"\1_bn"),
     (re.compile(r"(^|/)blockf_1(?=/)"), r"\1blockf_conv"),
+    # AGS Basic_SSL_Model trunk (ags.py:131-141): ``f`` holds the headless
+    # torchvision resnet50 children — f.0 conv1, f.1 bn1, f.4..7 layer1..4
+    # (g = the projection head, unused by the attack, dropped at reconcile)
+    (re.compile(r"^f_0(?=/)"), "conv1"),
+    (re.compile(r"^f_1(?=/)"), "bn1"),
+    (re.compile(r"^f_4(?=[_/])"), "layer1"),
+    (re.compile(r"^f_5(?=[_/])"), "layer2"),
+    (re.compile(r"^f_6(?=[_/])"), "layer3"),
+    (re.compile(r"^f_7(?=[_/])"), "layer4"),
     # Stable-Diffusion stack (diffusers UNet/VAE + HF CLIP text encoder):
     # join the sampler/FF Sequentials into the single Flax module names
     (re.compile(r"(downsamplers_0|upsamplers_0)/conv"), r"\1_conv"),
@@ -235,9 +244,37 @@ def reconcile_with_module(converted: Dict, reference_vars: Dict) -> Dict:
     return result, report
 
 
+# checkpoint npz names that do not embed the classifier architecture
+_CKPT_ARCH_OVERRIDES = {
+    "ags_coco": "resnet50", "ags_comics": "resnet50",
+    "ags_paintings": "resnet50",  # SSL trunk (ags.py:131-141)
+}
+
+
+def _ckpt_arch(name: str):
+    """The zoo architecture behind a ``<family>_<arch>[_<variant>]``
+    checkpoint npz name (``dra_resnet50`` → resnet50, ``lgv_resnet50_3`` →
+    resnet50, ``at_resnet50_4px`` → resnet50, …)."""
+    from ..models import list_models
+
+    if name in _CKPT_ARCH_OVERRIDES:
+        return _CKPT_ARCH_OVERRIDES[name]
+    models = set(list_models())
+    if name in models:
+        return name
+    parts = name.split("_")
+    for i in range(len(parts)):
+        for j in range(len(parts), i, -1):
+            cand = "_".join(parts[i:j])
+            if cand in models:
+                return cand
+    return None
+
+
 def convert_and_save(name: str, state_dict_path: str, out_dir: str = None) -> str:
     """End-to-end: load .pth, convert, reconcile against the registered
-    model, save npz; returns the npz path."""
+    model (or the zoo architecture a fine-tuned-checkpoint name embeds),
+    save npz; returns the npz path."""
     import torch
 
     from ..models import make_model, save_npz_variables
@@ -245,8 +282,22 @@ def convert_and_save(name: str, state_dict_path: str, out_dir: str = None) -> st
     state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
+    elif isinstance(state, dict) and "model" in state and all(
+            hasattr(v, "shape") for v in state["model"].values()):
+        state = state["model"]  # slightly-robust releases (dsm.py:64-65)
+    # DataParallel / robustness-lib wrappers (the reference's per-attack
+    # key remapping, e.g. dsm.py:66-77)
+    for pref in ("module.attacker.model.", "module.model.", "module."):
+        if any(k.startswith(pref) for k in state):
+            state = {(k[len(pref):] if k.startswith(pref) else k): v
+                     for k, v in state.items()}
     converted = torch_state_dict_to_flax(state)
-    surrogate = make_model(name, pretrained=False)
+    arch = _ckpt_arch(name)
+    if arch is None:
+        raise ValueError(
+            f"cannot infer the model behind {name!r}; known models: "
+            "use an '<family>_<arch>' npz name or a registry model name")
+    surrogate = make_model(arch, pretrained=False)
     variables, report = reconcile_with_module(converted, surrogate.variables)
     if report["missing"] or report["mismatched"]:
         print(f"[convert] {name}: {len(report['missing'])} missing, "
@@ -270,7 +321,129 @@ _SD_MODULES = {
 # generator-npz-name prefixes → generation module factory (param shapes are
 # input-size independent, so tiny init shapes suffice)
 _GENERATOR_PREFIXES = ("ttp_", "m3d_", "cdtp", "ltp", "dsva", "ge_advgan",
-                       "ada")
+                       "ada", "fap")
+
+
+# auxiliary non-classifier networks (manifest entries whose target is a
+# bespoke Flax module) → (module, init variables); param shapes are
+# input-size independent, so tiny init shapes suffice
+def _aux_module(name: str):
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(0)
+    if name == "nrp":
+        from ..defense.nrp import NRPNet
+
+        net = NRPNet()
+        return net, net.init(k, jnp.zeros((1, 32, 32, 3)))
+    if name == "diffpure_unet":
+        from ..defense.gd_unet import GuidedDiffusionUNet
+
+        net = GuidedDiffusionUNet()
+        return net, net.init(k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
+    if name == "atta_model":
+        from ..input_transformation.learned import ATTAModel
+
+        net = ATTAModel()
+        return net, net.init(k, jnp.zeros((1, 32, 32, 3)))
+    if name == "pam_semantic_predictor":
+        from ..input_transformation.learned import SemanticPredictor
+
+        net = SemanticPredictor()
+        return net, net.init(k, jnp.zeros((1, 224, 224, 3)))
+    if name == "stm_stylenet":
+        from ..input_transformation.learned import StyleNet
+
+        net = StyleNet()
+        return net, net.init(k, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 100)))
+    if name == "aitl_encoder":
+        from ..input_transformation.learned import AITLEncoder
+
+        net = AITLEncoder()
+        return net, net.init(k, jnp.zeros((1, 80)))
+    if name == "aitl_decoder":
+        from ..input_transformation.learned import AITLDecoder
+
+        net = AITLDecoder()
+        return net, net.init(k, jnp.zeros((1, 128)))
+    if name == "aitl_predictor":
+        from ..input_transformation.learned import AITLPredictor
+
+        net = AITLPredictor()
+        return net, net.init(k, jnp.zeros((1, 64, 64, 3)),
+                             jnp.zeros((1, 128)))
+    return None, None
+
+
+_AUX_NAMES = ("nrp", "diffpure_unet", "atta_model", "pam_semantic_predictor",
+              "stm_stylenet", "aitl_encoder", "aitl_decoder",
+              "aitl_predictor")
+
+# per-artifact key scrubs (the manifest's conversion notes)
+_AUX_PRESCRUB = {
+    # the official ATTA checkpoint wraps the CNN as Sequential(Normalize,
+    # net) — strip the Sequential's leading '1.' (atta.py:96-105)
+    "atta_model": lambda sd: {(k[2:] if k.startswith("1.") else k): v
+                              for k, v in sd.items()},
+    # the Ghiasi weights live under the 'state_dict_ghiasi' key
+    # (stm.py:262-266)
+    "stm_stylenet": lambda sd: sd.get("state_dict_ghiasi", sd),
+    # the AITL predictor replaces MobileNetV2's classifier Sequential by a
+    # bare Linear — re-nest it so the generic MobileNetV2 rewrites apply
+    "aitl_predictor": lambda sd: {
+        k.replace("backbone.classifier.", "backbone.classifier.1."): v
+        for k, v in sd.items()},
+}
+
+
+def convert_aux(name: str, state_dict_path: str, out_dir: str = None) -> str:
+    """Convert an auxiliary-network checkpoint (NRP purifier, DiffPure
+    UNet, ATTA CNN, PAM predictor, STM StyleNet, AITL encoder/decoder/
+    predictor) into its Flax npz."""
+    import torch
+
+    from ..models import save_npz_variables
+
+    state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state and \
+            name != "stm_stylenet":
+        state = state["state_dict"]
+    scrub = _AUX_PRESCRUB.get(name)
+    if scrub is not None:
+        state = scrub(state)
+    net, ref_vars = _aux_module(name)
+    converted = torch_state_dict_to_flax(state, prefix="")
+    variables, report = reconcile_with_module(converted, ref_vars)
+    if report["missing"] or report["mismatched"]:
+        print(f"[convert] {name}: {len(report['missing'])} missing, "
+              f"{len(report['mismatched'])} mismatched")
+        for m in (report["missing"] + report["mismatched"])[:20]:
+            print("  ", m)
+    out_dir = out_dir or os.environ.get(
+        "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+    )
+    path = os.path.join(out_dir, f"{name}.npz")
+    save_npz_variables(path, variables)
+    return path
+
+
+def convert_stm_embeddings(state_dict_path: str, out_dir: str = None) -> str:
+    """checkpoint_embeddings.pth → stm_embeddings.npz: keep the PBN mean
+    and factor the covariance as A = U·diag(√s) (``stm.py:273-282``)."""
+    import torch
+
+    state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+    mean = np.asarray(state["pbn_embedding_mean"], np.float32).reshape(1, 100)
+    cov = np.asarray(state["pbn_embedding_covariance"], np.float64)
+    u, s, _ = np.linalg.svd(cov)
+    A = (u @ np.diag(np.sqrt(s))).astype(np.float32)
+    out_dir = out_dir or os.environ.get(
+        "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+    )
+    path = os.path.join(out_dir, "stm_embeddings.npz")
+    np.savez(path, pbn_embedding_mean=mean, A=A)
+    return path
 
 
 def _generator_module(npz_name: str):
@@ -398,6 +571,10 @@ def convert_all(download_dir: str) -> None:
                 out = convert_hgd(path, model)
             elif art.npz in _SD_MODULES:
                 out = convert_sd(art.npz, path)
+            elif art.npz == "stm_embeddings":
+                out = convert_stm_embeddings(path)
+            elif art.npz in _AUX_NAMES:
+                out = convert_aux(art.npz, path)
             elif art.npz.startswith(_GENERATOR_PREFIXES):
                 out = convert_generator(art.npz, path)
             else:
@@ -424,6 +601,10 @@ if __name__ == "__main__":
         convert_all(sys.argv[sys.argv.index("--all") + 1])
     elif sys.argv[1] in _SD_MODULES:
         print(convert_sd(sys.argv[1], sys.argv[2]))
+    elif sys.argv[1] == "stm_embeddings":
+        print(convert_stm_embeddings(sys.argv[2]))
+    elif sys.argv[1] in _AUX_NAMES:
+        print(convert_aux(sys.argv[1], sys.argv[2]))
     elif sys.argv[1].startswith(_GENERATOR_PREFIXES):
         print(convert_generator(sys.argv[1], sys.argv[2]))
     else:

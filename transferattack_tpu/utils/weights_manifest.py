@@ -86,10 +86,13 @@ MANIFEST = (
              "models.make_model('resnet50')", "convert_and_save", ("dra",)),
     Artifact("mta_resnet18", "MTA_stage3.pth", "MTA release (mta.py)",
              "models.make_model('resnet18')", "convert_and_save", ("mta",)),
-    Artifact("dsm_resnet50", "resnet50_dsm.pth", "DSM release (dsm.py)",
-             "models.make_model('resnet50')", "convert_and_save", ("dsm",)),
-    Artifact("ags_resnet18", "ags_model.pth", "AGS release (ags.py)",
-             "models.make_model('resnet18')", "convert_and_save", ("ags",)),
+    Artifact("dsm_resnet18", "SD_resnet18_cutmix.pth.tar",
+             "DSM release (dsm.py:48-51)",
+             "models.make_model('resnet18')", "convert_and_save", ("dsm",)),
+    Artifact("ags_coco", "coco_ags_100.pth",
+             "AGS release (ags.py:47-52; also ags_comics/ags_paintings)",
+             "SSL resnet50 trunk (Basic_SSL_Model.f)", "convert_and_save",
+             ("ags",)),
     Artifact("ma_resnet50", "ma_witness.pth", "MA release (ma.py)",
              "models.make_model('resnet50')", "convert_and_save", ("ma",)),
     Artifact("ana_resnet50", "ana_alignment.pth", "ANA release (ana.py)",
