@@ -117,26 +117,47 @@ def main():
         B = 1
         x = jnp.asarray(rng.rand(B, 256, 256, 3).astype(np.float32))
         dp = DiffPure(unet_config={})
-        n_steps = 150
+        n_steps, slice_steps = 150, 20
+
+        # a jitted SCAN of slice_steps EM steps with the UNet variables as
+        # an ARGUMENT (closing over them inlines ~2.2 GB of weight
+        # constants into the program and kills the tunnel's compile
+        # helper); one UNet body in the program
+        uvars = dp.unet_vars
 
         @jax.jit
-        def em_step(xt, tau, k):
-            drift, diff = dp._sde_drift_diffusion(xt, 1.0 - tau)
-            z = jax.random.normal(k, xt.shape, xt.dtype)
-            return xt + (-drift) * 1e-3 + diff * jnp.sqrt(1e-3) * z
-
-        def full(xx, k):
-            xt = xx * 2.0 - 1.0
+        def em_slice(v, xt, k):
             t0 = 1.0 - dp.t_star / dp.T
-            for i in range(n_steps):
+
+            def step(xt, s, kk):
+                beta_s = dp.BETA_MIN + s * (dp.BETA_MAX - dp.BETA_MIN)
+                acum = jnp.exp(-0.5 * (dp.BETA_MAX - dp.BETA_MIN) * s * s
+                               - dp.BETA_MIN * s)
+                tt = jnp.full((xt.shape[0],), jnp.floor(s * dp.T),
+                              jnp.float32)
+                out = dp.unet.apply(v, xt, tt)
+                eps_, _ = jnp.split(out, 2, axis=-1)
+                score = -eps_ / jnp.sqrt(1.0 - acum)
+                drift = -0.5 * beta_s * xt - beta_s * score
+                z = jax.random.normal(kk, xt.shape, xt.dtype)
+                return (xt + (-drift) * 1e-3
+                        + jnp.sqrt(beta_s) * jnp.sqrt(1e-3) * z)
+
+            def body(carry, i):
+                xt, k = carry
                 k, sub = jax.random.split(k)
-                xt = em_step(xt, t0 + i * 1e-3, sub)
+                return (step(xt, 1.0 - (t0 + i * 1e-3), sub), k), None
+
+            (xt, _), _ = jax.lax.scan(
+                body, (xt, k), jnp.arange(slice_steps, dtype=jnp.float32))
             return xt
 
-        sec = bench(full, x, key, reps=1)
+        sec_slice = bench(em_slice, uvars, x * 2.0 - 1.0, key, reps=1)
+        sec = sec_slice * (n_steps / slice_steps)
         emit("diffpure", B, sec,
-             "full 256-UNet SDE reverse t*=150, dt=1e-3 -> 150 UNet evals "
-             "at 256 (weights timing-only; host-stepped)")
+             f"full 256-UNet SDE reverse t*=150, dt=1e-3 -> 150 UNet evals "
+             f"at 256 (weights timing-only; {slice_steps}-step device scan "
+             f"measured, x{n_steps // slice_steps} extrapolated)")
 
 
 if __name__ == "__main__":

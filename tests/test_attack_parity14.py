@@ -364,3 +364,108 @@ def test_ags_feature_dissimilarity_loop_parity():
     ours = np.asarray(atk(x, y))
     agree = _sign_agree(ref, ours)
     assert agree > 0.98, f"AGS delta sign agreement {agree:.4f}"
+
+
+def test_ana_alignment_three_grad_loop_parity():
+    """ANA trajectory (``ana.py:126-174``): per iteration three gradients
+    w.r.t. delta — CE of the unaligned branch, γ·MSE-sum of the unaligned
+    pooled feature vs its clean reference, γ·MSE-sum of the ALIGNED pooled
+    feature (AlignmentNet grafted after layer3) vs its clean reference —
+    each L2-normalized per sample, summed, then MI momentum.  The twin
+    starts from a pinned random delta on both sides: at δ=0 the MSE
+    branches sit exactly at their minimum, so their per-sample-normalized
+    gradients are unit-norm fp NOISE — the reference trajectory's first
+    step is genuinely non-deterministic there."""
+    import jax
+    import jax.numpy as jnp
+
+    import transferattack_tpu as ta
+    from transferattack_tpu.model_related.checkpoint_surrogates import (
+        AlignmentNet,
+    )
+    from transferattack_tpu.utils.convert import (
+        reconcile_with_module, torch_state_dict_to_flax,
+    )
+
+    tmodel, _, surrogate = _fresh_pair(147)
+    torch.manual_seed(147)
+    talign = tnn.Sequential(
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU()).eval()
+    with torch.no_grad():
+        for m in talign.modules():
+            if isinstance(m, tnn.Conv2d):
+                m.weight.normal_(0, 0.05)
+                m.bias.normal_(0, 0.01)
+
+    rng = np.random.RandomState(147)
+    B, epoch, gamma = 2, 6, 2.0
+    x = rng.rand(B, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 1000, (B,)).astype(np.int32)
+
+    def t_branches(x_raw):
+        xn = (x_raw - torch.from_numpy(MEAN)) / torch.from_numpy(STD)
+        h = xn.permute(0, 3, 1, 2)
+        h = tmodel.maxpool(tmodel.relu(tmodel.bn1(tmodel.conv1(h))))
+        for i in (1, 2, 3):
+            h = getattr(tmodel, f"layer{i}")(h)
+        feat3 = h
+        a = tmodel.layer4(feat3)
+        pre = tmodel.avgpool(a).flatten(1)
+        logits = tmodel.fc(pre)
+        b = tmodel.layer4(talign(feat3))
+        post = tmodel.avgpool(b).flatten(1)
+        return logits, pre, post
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    with torch.no_grad():
+        _, ref_pre, ref_post = t_branches(xt)
+
+    def norm_grad(g):
+        flat = g.reshape(g.shape[0], -1)
+        return g / (flat.norm(dim=1).view(-1, 1, 1, 1) + 1e-10)
+
+    d0 = rng.uniform(-EPS, EPS, size=x.shape).astype(np.float32)
+    d0 = np.clip(x + d0, 0, 1) - x
+    delta = torch.from_numpy(d0)
+    momentum = torch.zeros_like(xt)
+    for _ in range(epoch):
+        grads = []
+        for which in range(3):
+            d = delta.clone().requires_grad_(True)
+            logits, pre, post = t_branches(xt + d)
+            if which == 0:
+                loss = F.cross_entropy(logits, yt)
+            elif which == 1:
+                loss = gamma * F.mse_loss(pre, ref_pre, reduction="sum")
+            else:
+                loss = gamma * F.mse_loss(post, ref_post, reduction="sum")
+            grads.append(torch.autograd.grad(loss, d)[0])
+        g = norm_grad(grads[0]) + norm_grad(grads[1]) + norm_grad(grads[2])
+        momentum = momentum + _mi_norm(g)
+        delta = torch.clamp(delta + ALPHA * momentum.sign(), -EPS, EPS)
+        delta = torch.clamp(xt + delta, 0, 1) - xt
+    ref = delta.numpy()
+
+    import warnings
+
+    ANA = ta.load_attack_class("ana")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        atk = ANA(model_name="resnet18", pretrained=False, input_size=64,
+                  epoch=epoch, gamma=gamma)
+    jd0 = jnp.asarray(d0)
+    atk.init_delta = lambda xx, key: jd0
+    atk.model = surrogate
+    init_vars = atk.align.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 8, 256)))
+    # the official AlignmentNetCNN holds the Sequential as ``self.net``
+    sd = {"net." + k: v for k, v in talign.state_dict().items()}
+    converted = torch_state_dict_to_flax(sd, prefix="")
+    avars, report = reconcile_with_module(converted, init_vars)
+    assert not (report["missing"] or report["mismatched"]), report
+    atk.align_vars = avars
+    ours = np.asarray(atk(x, y))
+    agree = _sign_agree(ref, ours)
+    assert agree > 0.98, f"ANA delta sign agreement {agree:.4f}"

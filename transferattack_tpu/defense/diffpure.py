@@ -105,12 +105,13 @@ class DiffPure:
         self.fallback_weights = not os.path.exists(path)
         self._jitted = None
 
-    def p_sample(self, xt, t, key):
+    def p_sample(self, xt, t, key, variables=None):
         """One reverse step: learned-range variance + clipped x₀ prediction
         (guided_diffusion ``p_mean_variance``/``p_sample`` with
         clip_denoised=True, as the runner calls it)."""
         tt = jnp.full((xt.shape[0],), t, jnp.float32)
-        out = self.unet.apply(self.unet_vars, xt, tt)
+        out = self.unet.apply(
+            self.unet_vars if variables is None else variables, xt, tt)
         eps, var_frac = jnp.split(out, 2, axis=-1)
         # LEARNED_RANGE: interpolate log-variance between posterior and beta
         frac = (var_frac + 1.0) / 2.0
@@ -123,7 +124,7 @@ class DiffPure:
         nonzero = jnp.where(t > 0, 1.0, 0.0)
         return mean + nonzero * jnp.exp(0.5 * log_var) * z
 
-    def _sde_drift_diffusion(self, x, s):
+    def _sde_drift_diffusion(self, x, s, variables=None):
         """Reverse VP-SDE drift/diffusion at continuous time ``s`` ∈ (0, 1)
         (``RevVPSDE.rvpsde_fn``, ``diffpure_sde.py:94-129``): the guided
         UNet's ε output becomes a score via the continuous
@@ -133,13 +134,14 @@ class DiffPure:
             -0.5 * (self.BETA_MAX - self.BETA_MIN) * s * s - self.BETA_MIN * s)
         # _scale_timesteps: (s * N).long() (diffpure_sde.py:84-86)
         tt = jnp.full((x.shape[0],), jnp.floor(s * self.T), jnp.float32)
-        out = self.unet.apply(self.unet_vars, x, tt)
+        out = self.unet.apply(
+            self.unet_vars if variables is None else variables, x, tt)
         eps, _ = jnp.split(out, 2, axis=-1)
         score = -eps / jnp.sqrt(1.0 - acum_cont)
         drift = -0.5 * beta_s * x - beta_s * score
         return drift, jnp.sqrt(beta_s)
 
-    def purify_sde(self, x, key):
+    def purify_sde(self, x, key, variables=None):
         """Euler–Maruyama integration of the reverse VP-SDE
         (``image_editing_sample``, ``diffpure_sde.py:199-239``): diffuse to
         t* with the discrete ᾱ, then integrate x' = −f(1−τ) dτ + g(1−τ) dW
@@ -160,7 +162,7 @@ class DiffPure:
             xt, key = carry
             key, sub = jax.random.split(key)
             tau = t0 + i * dt
-            drift, diff = self._sde_drift_diffusion(xt, 1.0 - tau)
+            drift, diff = self._sde_drift_diffusion(xt, 1.0 - tau, variables)
             z = jax.random.normal(sub, xt.shape, xt.dtype)
             xt = xt + (-drift) * dt + diff * jnp.sqrt(dt) * z
             return (xt, key), None
@@ -169,7 +171,7 @@ class DiffPure:
             body, (xt, key), jnp.arange(n_steps, dtype=jnp.float32))
         return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)
 
-    def purify_ddpm(self, x, key):
+    def purify_ddpm(self, x, key, variables=None):
         """x in [0,1] → diffused to t*, reverse-denoised, back to [0,1]."""
         x2 = x * 2.0 - 1.0
         a_star = self.alphas_cum[self.t_star - 1]
@@ -180,22 +182,26 @@ class DiffPure:
         def body(carry, t):
             xt, key = carry
             key, sub = jax.random.split(key)
-            return (self.p_sample(xt, t, sub), key), None
+            return (self.p_sample(xt, t, sub, variables), key), None
 
         (x0, _), _ = jax.lax.scan(
             body, (xt, key), jnp.arange(self.t_star - 1, -1, -1)
         )
         return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)
 
-    def purify(self, x, key):
+    def purify(self, x, key, variables=None):
         if self.diffusion_type == "sde":
-            return self.purify_sde(x, key)
-        return self.purify_ddpm(x, key)
+            return self.purify_sde(x, key, variables)
+        return self.purify_ddpm(x, key, variables)
 
     def __call__(self, x, key):
+        # the UNet variables ride as a jit ARGUMENT: closing over them
+        # would inline ~2.2 GB of weight constants into the program, which
+        # the axon tunnel's remote-compile helper cannot ship
         if self._jitted is None:
-            self._jitted = jax.jit(self.purify)
-        return self._jitted(x, key)
+            self._jitted = jax.jit(
+                lambda v, xx, kk: self.purify(xx, kk, v))
+        return self._jitted(self.unet_vars, x, key)
 
 
 def run_diffpure(input_dir: str, output_dir: str, batchsize: int = 4,

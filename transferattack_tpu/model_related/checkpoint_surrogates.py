@@ -20,6 +20,7 @@ import warnings
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from ..attack import AttackState
 from ..gradient.mifgsm import MIFGSM
@@ -145,12 +146,119 @@ class MA(CheckpointSurrogateAttack):
     ckpt_name = "ma_resnet50"
 
 
-class ANA(CheckpointSurrogateAttack):
-    """Alignment-network attack (``ana.py``): an auxiliary CNN (checkpoint)
-    aligns mid-features; absent the aux checkpoint we attack the aligned
-    surrogate directly."""
+class AlignmentNet(nn.Module):
+    """``ana.py:8-18``: two same-padded 3×3 convs + ReLU over the layer3
+    feature (module names match the Sequential's ``net.0``/``net.2``)."""
 
-    ckpt_name = "ana_resnet50"
+    @nn.compact
+    def __call__(self, f):
+        C = f.shape[-1]
+        f = nn.relu(nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="net_0")(f))
+        return nn.relu(nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                               name="net_2")(f))
+
+
+class ANA(MIFGSM):
+    """Alignment-network attack (``ana.py:67-175``).
+
+    The surrogate is a pretrained ResNet-50 with an AlignmentNetCNN grafted
+    after layer3 (checkpoint ``aligned_res50_v3.pth`` under
+    ``alignment_state_dict``).  Per iteration (``ana.py:126-174``) THREE
+    gradients are taken w.r.t. delta — the CE of the unaligned branch, and
+    γ·MSE-sum of each branch's pooled (pre-fc) feature against its CLEAN
+    reference — each L2-normalized PER SAMPLE, summed, then fed to the
+    usual momentum update.  The ``eta``/``num_ens`` ctor args are dead in
+    the reference loop and accepted-but-unused here too."""
+
+    def __init__(self, model_name="resnet50", epoch=10, eps=16 / 255,
+                 alpha=1.6 / 255, decay=1.0, gamma=2.0, eta=28.0, num_ens=30,
+                 feature_layer="layer3", ckpt_name="ana_alignment",
+                 targeted=False, random_start=False, norm="linfty",
+                 loss="crossentropy", attack="ANA", **kwargs):
+        kwargs.setdefault("attack", attack)
+        super().__init__(model_name, epoch=epoch, eps=eps, alpha=alpha,
+                         decay=decay, targeted=targeted,
+                         random_start=random_start, norm=norm, loss=loss,
+                         **kwargs)
+        self.gamma = float(gamma)
+        self.feature_layer = feature_layer
+        self.align = AlignmentNet()
+        # init at the surrogate's own layer3 feature shape (params depend
+        # only on the channel count)
+        s = getattr(self.model, "input_size", None) or 224
+        _, f3 = self.model.feature(
+            self.model.variables,
+            jnp.zeros((1, s, s, 3), jnp.float32), self.feature_layer)
+        self.align_vars = self.align.init(jax.random.PRNGKey(7), f3)
+        root = os.environ.get(
+            "TA_TPU_WEIGHTS_DIR", os.path.join(os.getcwd(), "weights")
+        )
+        path = os.path.join(root, f"{ckpt_name}.npz")
+        if os.path.exists(path):
+            self.align_vars = load_npz_variables(path)
+        else:
+            record_fallback(ckpt_name)
+            warnings.warn(
+                f"ANA: alignment checkpoint {path} not found; random-init "
+                "alignment net (convert aligned_res50_v3.pth for parity)."
+            )
+
+    def _branches(self, variables, x):
+        """(logits, pooled_pre, pooled_post_aligned) — the reference's
+        ``ResNet50WithAlign.forward(x, x)`` (``ana.py:58-65``): the
+        unaligned branch feeds the classifier; the aligned branch replaces
+        the layer3 feature with AlignmentNet(feature) and re-runs the
+        tail; pooled = pre-fc global mean."""
+        from ..models import find_feature, tap_key
+
+        key = tap_key(self.feature_layer)
+
+        def pooled(feats):
+            # the deepest stage present = the pre-fc feature (stage4 on the
+            # ResNet-50 the reference hardcodes; smaller test surrogates
+            # expose fewer stages)
+            for name in ("stage4", "stage3", "stage2", "stage1"):
+                f = find_feature(feats, name)
+                if f is not None:
+                    return f.mean(axis=(1, 2))
+            raise ValueError("no stage features found")
+
+        logits, feats = self.model.apply_with_feats(variables, x, "stage")
+        pre = pooled(feats)
+        _, featsB = self.model.apply_with_feats(
+            variables, x, "stage",
+            tap_fns={key: lambda f: self.align.apply(self.align_vars, f)})
+        post = pooled(featsB)
+        return logits, pre, post
+
+    def init_extra(self, x, y):
+        _, pre, post = self._branches(self.model.variables, x)
+        return {"ref_pre": jax.lax.stop_gradient(pre),
+                "ref_post": jax.lax.stop_gradient(post)}
+
+    def get_grad(self, variables, x, y, state: AttackState, key):
+        from ..attack import softmax_cross_entropy
+
+        ref_pre, ref_post = state.extra["ref_pre"], state.extra["ref_post"]
+
+        def parts(delta):
+            logits, pre, post = self._branches(variables, x + delta)
+            ce = softmax_cross_entropy(logits, y).mean()
+            cls = -ce if self.targeted else ce
+            d1 = self.gamma * jnp.sum((pre - ref_pre) ** 2)
+            d2 = self.gamma * jnp.sum((post - ref_post) ** 2)
+            return cls, d1, d2
+
+        def norm_grad(g):
+            flat = g.reshape(g.shape[0], -1)
+            denom = jnp.sqrt(jnp.sum(flat ** 2, axis=1)) + 1e-10
+            return g / denom[:, None, None, None]
+
+        g_cls = jax.grad(lambda d: parts(d)[0])(state.delta)
+        g_d1 = jax.grad(lambda d: parts(d)[1])(state.delta)
+        g_d2 = jax.grad(lambda d: parts(d)[2])(state.delta)
+        return norm_grad(g_cls) + norm_grad(g_d1) + norm_grad(g_d2), {}
 
 
 def quantize_per_channel(w, bits: int):

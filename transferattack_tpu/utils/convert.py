@@ -373,12 +373,17 @@ def _aux_module(name: str):
         net = AITLPredictor()
         return net, net.init(k, jnp.zeros((1, 64, 64, 3)),
                              jnp.zeros((1, 128)))
+    if name == "ana_alignment":
+        from ..model_related.checkpoint_surrogates import AlignmentNet
+
+        net = AlignmentNet()
+        return net, net.init(k, jnp.zeros((1, 14, 14, 1024)))
     return None, None
 
 
 _AUX_NAMES = ("nrp", "diffpure_unet", "atta_model", "pam_semantic_predictor",
               "stm_stylenet", "aitl_encoder", "aitl_decoder",
-              "aitl_predictor")
+              "aitl_predictor", "ana_alignment")
 
 # per-artifact key scrubs (the manifest's conversion notes)
 _AUX_PRESCRUB = {
@@ -394,6 +399,9 @@ _AUX_PRESCRUB = {
     "aitl_predictor": lambda sd: {
         k.replace("backbone.classifier.", "backbone.classifier.1."): v
         for k, v in sd.items()},
+    # the ANA checkpoint nests the net under 'alignment_state_dict'
+    # (ana.py:27-28)
+    "ana_alignment": lambda sd: sd.get("alignment_state_dict", sd),
 }
 
 

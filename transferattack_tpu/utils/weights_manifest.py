@@ -95,9 +95,10 @@ MANIFEST = (
              ("ags",)),
     Artifact("ma_resnet50", "ma_witness.pth", "MA release (ma.py)",
              "models.make_model('resnet50')", "convert_and_save", ("ma",)),
-    Artifact("ana_resnet50", "ana_alignment.pth", "ANA release (ana.py)",
-             "models.make_model('resnet50') + AlignmentNet head",
-             "convert_and_save", ("ana",)),
+    Artifact("ana_alignment", "aligned_res50_v3.pth",
+             "ANA release (ana.py:105-112)",
+             "checkpoint_surrogates.AlignmentNet (trunk = plain resnet50)",
+             "convert_aux: 'alignment_state_dict' subtree", ("ana",)),
     Artifact("qaa_resnet50", "qaa_apot_resnet50.pth", "QAA release (qaa.py)",
              "checkpoint_surrogates.QAA fake-quant ResNet",
              "convert_and_save", ("qaa",)),
