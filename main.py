@@ -246,6 +246,7 @@ def run_eval(args) -> None:
         except (ValueError, OSError):
             pass
     for name in names:
+        t_model = time.perf_counter()
         surrogate = make_model(name)
         if args.bf16:
             import jax
@@ -272,7 +273,8 @@ def run_eval(args) -> None:
                 targeted=args.targeted, eval_mode=True,
             )
             asr = evaluate_model(surrogate, ds, args.batchsize, args.targeted)
-        print(f"{name}: {asr:.1f}")
+        eval_s = time.perf_counter() - t_model
+        print(f"{name}: {asr:.1f} ({eval_s:.1f}s incl. compile+IO)", flush=True)
         res += f" {asr:.1f} |"
         from transferattack_tpu.utils.weights_manifest import (
             fallback_weights_used,
@@ -281,6 +283,7 @@ def run_eval(args) -> None:
         records.append({"output_dir": args.output_dir, "attack": args.attack,
                         "eval_model": name, "asr": round(asr, 2),
                         "targeted": bool(args.targeted),
+                        "eval_seconds": round(eval_s, 2),
                         "fallback_weights_used": fallback_weights_used(),
                         "attack_fallback_weights_used": attack_fallbacks})
     print(res)
